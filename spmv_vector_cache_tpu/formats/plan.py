@@ -4,29 +4,35 @@ The reference streams CSC and pays for the scattered update
 ``y[rowInd] += v`` with interlock hardware — shadow queues, CAM issue
 windows, and a vector cache in front of y (``chisel/frontend/``,
 ``chisel/cache-new/``, SURVEY.md §2.1).  On TPU the same irregularity must
-be removed by *layout*, not tracked at runtime: this module builds a
-**sliced-ELLPACK (SELL) tile plan** over CSR in which
+be removed by *layout*, not tracked at runtime.  This module builds a
+**sliced-ELLPACK (SELL) tile plan** over CSR:
 
 * rows are bound to *lanes* — 128 consecutive (sub)rows form a *slice*,
   and a slice's nonzeros are stored as (8, 128) value/column tiles whose
   sublane axis holds successive nonzero positions of each row.  The row
-  reduction is then a sublane-axis sum and the scatter disappears entirely
-  (the RAW-hazard interlocks of ``InterleavedReduce.scala:51-57`` and
-  ``SpMVFrontendNBCache.scala:26-77`` have no TPU analog to pay for), and
-  the y output block is a lane-aligned (1, 128) vector;
-* long rows are *split* into bounded sub-rows that later merge in one cheap
-  segment-sum — the load-balance fix the reference probes with its
-  ``row64k`` worst-case matrix and ``permuteLongestRowFirst``
-  (``matrixutils.py:148-158``);
-* rows may be length-sorted within windows of ``sigma`` sub-rows
-  (SELL-sigma) so slices hold similar-length rows and padding stays small,
-  merged back by the same fixup.
+  reduction is a sublane-axis sum, so the scatter disappears (the
+  RAW-hazard interlocks of ``InterleavedReduce.scala:51-57`` and
+  ``SpMVFrontendNBCache.scala:26-77`` have no TPU analog to pay for);
+* long rows *split* into bounded sub-rows (the load-balance fix the
+  reference probes with its ``row64k`` matrix and
+  ``permuteLongestRowFirst``, ``matrixutils.py:148-158``);
+* sub-rows may be length-sorted within ``sigma`` windows (SELL-sigma) so
+  slices hold similar-length rows and padding stays small;
+* optionally, rows split at **column-stripe** boundaries so every tile's
+  column span is bounded — this is what makes the windowed-x kernel
+  (the vector-cache analog) applicable to matrices without natural
+  bandwidth; the merge back to y is one segment-sum (the same fixup that
+  serves split/sigma).
 
 The irregular access that remains is the *gather* of x[col] — the exact
 dual of the reference's y problem (CSC makes x sequential and y scattered;
-CSR makes y sequential and x gathered).  The plan records per-tile column
-statistics so the strategy layer can place x the way the reference placed
-y: fully on-chip, windowed, or streamed from HBM (see ``ops/strategy.py``).
+CSR makes y sequential and x gathered).  TPU hardware can gather only
+within a 128-lane window, so the plan computes, per 8-tile kernel step, a
+**window base** ``wb`` such that every column the step touches lies in
+``[wb*128, wb*128 + K*128)``; K (``window_blocks``) is the static loop
+count the kernel pays.  Feasibility and the required K come straight from
+the layout — the TPU port of the reference's ``maxColSpan`` analysis
+(``SparseMatrix.cpp:110-119``) deciding buffer strategy.
 """
 
 from __future__ import annotations
@@ -42,6 +48,9 @@ from .convert import coo_to_csr, csc_to_csr
 
 Array = Any
 
+#: tiles per kernel grid step (output block sublane alignment requires 8)
+TILES_PER_STEP = 8
+
 
 @dataclasses.dataclass(frozen=True)
 class PlanStats:
@@ -49,13 +58,15 @@ class PlanStats:
     story (the runtime half lives in ``utils/stats.py``)."""
 
     nnz: int
-    num_tiles: int
+    num_tiles: int          # padded to TILES_PER_STEP
     num_slices: int
     num_subrows: int
     num_splits: int
+    num_stripes: int        # column stripes (1 = no striping)
     padded_slots: int
-    fill: float              # nnz / (num_tiles * P * R)
-    max_tile_col_span: int   # worst within-tile column spread (windowing feasibility)
+    fill: float             # nnz / (num_tiles * P * R)
+    window_blocks: int      # K required by the windowed kernel (0 = infeasible)
+    max_window_base: int    # max of window_base (static x padding bound)
 
     def as_dict(self):
         return dataclasses.asdict(self)
@@ -64,31 +75,30 @@ class PlanStats:
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass(frozen=True)
 class SellPlan:
-    """Tiled SELL layout of one sparse matrix, ready for the Pallas kernels.
+    """Tiled SELL layout of one sparse matrix, ready for the kernels.
 
-    ``vals``/``cols``: (T, P, R) — tile t covers the R=128 rows of slice
-    ``tile_slice[t]`` (rows on the lane axis) and P=8 successive nonzero
-    positions of each row (sublane axis); padding slots carry
-    (semiring-zero, column 0).  ``tile_slice`` is nondecreasing, so the
-    output slice block stays VMEM-resident across consecutive grid steps
-    (revisiting-output accumulation).  ``row_map`` sends sub-row slots back
-    to original rows for the split/sigma fixup; ``identity_map`` says the
-    fixup can be skipped (y is the first ``rows`` entries of the flat
-    sub-row vector).
+    ``vals``/``cols``: (T, P, R) — tile t covers R=128 sub-rows (lane axis)
+    of slice ``tile_slice[t]`` and P=8 successive nonzero positions of each
+    (sublane axis); padding slots carry (0, column 0).  ``tile_slice`` is
+    nondecreasing.  ``window_base``: (T/8,) per-step x window base in
+    128-lane blocks (only meaningful when ``stats.window_blocks > 0``).
+    ``row_map`` sends sub-row slots back to original rows for the
+    split/sigma/stripe fixup; ``identity_map`` means y is simply the first
+    ``rows`` entries of the flat sub-row vector.
     """
 
     vals: Array          # (T, P, R) value dtype
-    cols: Array          # (T, P, R) int32
+    cols: Array          # (T, P, R) int32 global column ids
     tile_slice: Array    # (T,) int32, nondecreasing
-    tile_col_min: Array  # (T,) int32 — min column referenced by tile
-    row_map: Array       # (num_slices * R,) int32 → original row, or `rows` for padding
+    window_base: Array   # (T/8,) int32 — x window base per kernel step
+    row_map: Array       # (num_slices * R,) int32 → original row, `rows` = pad
     shape: Tuple[int, int]
-    lane_rows: int       # R — rows per slice (lane axis)
-    positions: int       # P — nonzero positions per tile (sublane axis)
+    lane_rows: int       # R
+    positions: int       # P
     identity_map: bool
     stats: PlanStats
 
-    _array_fields = ("vals", "cols", "tile_slice", "tile_col_min", "row_map")
+    _array_fields = ("vals", "cols", "tile_slice", "window_base", "row_map")
 
     def tree_flatten(self):
         children = tuple(getattr(self, f) for f in self._array_fields)
@@ -99,9 +109,9 @@ class SellPlan:
     @classmethod
     def tree_unflatten(cls, aux, children):
         shape, lane_rows, positions, identity_map, stats = aux
-        vals, cols, tile_slice, tile_col_min, row_map = children
+        vals, cols, tile_slice, window_base, row_map = children
         return cls(vals=vals, cols=cols, tile_slice=tile_slice,
-                   tile_col_min=tile_col_min, row_map=row_map, shape=shape,
+                   window_base=window_base, row_map=row_map, shape=shape,
                    lane_rows=lane_rows, positions=positions,
                    identity_map=identity_map, stats=stats)
 
@@ -129,144 +139,260 @@ def _as_csr(a) -> CSR:
     raise TypeError(f"cannot plan over {type(a)}")
 
 
-def _cdiv(a: int, b: int) -> int:
-    return -(-a // b)
-
-
-def _cdiv_arr(a: np.ndarray, b: int) -> np.ndarray:
+def _cdiv(a, b):
     return -(-a // b)
 
 
 def build_sell_plan(a, *, lane_rows: int = 128, positions: int = 8,
                     sigma: Optional[int] = None,
                     split: Optional[int] = None,
+                    stripe_width: Optional[int] = None,
+                    max_window_blocks: int = 16,
                     value_dtype=np.float32) -> SellPlan:
     """Build a SELL tile plan from any container (host-side, numpy).
 
-    ``split``: max nonzeros per sub-row; rows longer than this are split
-    (None = no splitting).  ``sigma``: window (in sub-rows) for descending
-    length sort (None = keep row order; then the fixup may be skippable).
+    ``split``: max nonzeros per sub-row (None = no splitting).
+    ``sigma``: window (in sub-rows) for descending length sort.
+    ``stripe_width``: split rows at column boundaries of this width so the
+    windowed kernel applies to locality-poor matrices (None = off).
+    ``max_window_blocks``: cap on K; if a layout needs more, the plan is
+    marked window-infeasible (``stats.window_blocks == 0``).
     """
     csr = _as_csr(a)
     rows, cols_n = csr.shape
     indptr = np.asarray(csr.indptr, dtype=np.int64)
-    indices = np.asarray(csr.indices, dtype=np.int64)
+    indices = (np.asarray(csr.indices, dtype=np.int64) & 0x3FFFFFFF)
     data = np.asarray(csr.data)
-    lens = np.diff(indptr)
     nnz = int(indptr[-1])
-    R, P = lane_rows, positions
+    R, P, B = lane_rows, positions, TILES_PER_STEP
 
-    # --- 1. split long rows into bounded sub-rows -------------------------
-    if split is not None and lens.size and lens.max() > split:
-        pieces = np.maximum(1, _cdiv_arr(lens, split))
-        sub_orig = np.repeat(np.arange(rows, dtype=np.int64), pieces)
-        piece_idx = np.arange(sub_orig.shape[0], dtype=np.int64) - \
+    # --- 1. sub-row pieces: (row [, stripe]) [, split] ---------------------
+    nz_row = np.repeat(np.arange(rows, dtype=np.int64),
+                       np.diff(indptr)) if nnz else np.zeros(0, np.int64)
+    if stripe_width is not None and nnz:
+        nz_stripe = indices // stripe_width
+        # piece boundary where row or stripe changes (cols sorted per row)
+        key_change = np.ones(nnz, dtype=bool)
+        key_change[1:] = (nz_row[1:] != nz_row[:-1]) | \
+                         (nz_stripe[1:] != nz_stripe[:-1])
+        piece_id = np.cumsum(key_change) - 1
+        num_pieces = int(piece_id[-1]) + 1
+        piece_start = np.flatnonzero(key_change).astype(np.int64)
+        piece_len = np.diff(np.concatenate([piece_start, [nnz]]))
+        piece_row = nz_row[piece_start]
+        piece_stripe = nz_stripe[piece_start]
+        num_stripes = int(nz_stripe.max()) + 1 if nnz else 1
+    else:
+        piece_start = indptr[:-1].copy()
+        piece_len = np.diff(indptr)
+        piece_row = np.arange(rows, dtype=np.int64)
+        piece_stripe = np.zeros(rows, dtype=np.int64)
+        num_stripes = 1
+
+    if split is not None and piece_len.size and piece_len.max() > split:
+        pieces = np.maximum(1, _cdiv(piece_len, split))
+        rep = np.repeat(np.arange(piece_row.shape[0], dtype=np.int64), pieces)
+        within = np.arange(rep.shape[0], dtype=np.int64) - \
             np.repeat(np.cumsum(pieces) - pieces, pieces)
-        sub_start = indptr[sub_orig] + piece_idx * split
-        sub_len = np.minimum(lens[sub_orig] - piece_idx * split, split)
+        sub_start = piece_start[rep] + within * split
+        sub_len = np.minimum(piece_len[rep] - within * split, split)
+        sub_row = piece_row[rep]
+        sub_stripe = piece_stripe[rep]
         num_splits = int((pieces > 1).sum())
     else:
-        sub_orig = np.arange(rows, dtype=np.int64)
-        sub_start = indptr[:-1].copy()
-        sub_len = lens.copy()
+        sub_start, sub_len = piece_start, piece_len
+        sub_row, sub_stripe = piece_row, piece_stripe
         num_splits = 0
-    num_subrows = int(sub_orig.shape[0])
+    num_subrows = int(sub_row.shape[0])
 
-    # --- 2. sigma sort (descending length within windows) -----------------
-    if sigma is not None and num_subrows > 1:
-        order = np.empty(num_subrows, dtype=np.int64)
-        for w0 in range(0, num_subrows, sigma):
-            w1 = min(w0 + sigma, num_subrows)
-            order[w0:w1] = w0 + np.argsort(-sub_len[w0:w1], kind="stable")
-        sorted_applied = True
+    # --- 2. ordering: stripe-major, then sigma length sort ------------------
+    sorted_applied = False
+    if num_subrows:
+        if sigma is not None and num_subrows > 1:
+            # order by (stripe asc, length desc) within sigma windows of the
+            # stripe-sorted sequence
+            stripe_order = np.argsort(sub_stripe, kind="stable")
+            order = stripe_order.copy()
+            lens_s = sub_len[stripe_order]
+            stripes_s = sub_stripe[stripe_order]
+            max_len = int(sub_len.max()) if sub_len.size else 0
+            for w0 in range(0, num_subrows, sigma):
+                w1 = min(w0 + sigma, num_subrows)
+                # keep stripes contiguous: sort key = (stripe asc, len desc)
+                key = stripes_s[w0:w1].astype(np.int64) * (max_len + 1) \
+                    - lens_s[w0:w1]
+                seg = np.argsort(key, kind="stable")
+                order[w0:w1] = stripe_order[w0:w1][seg]
+            sorted_applied = True
+        elif num_stripes > 1:
+            order = np.argsort(sub_stripe, kind="stable")
+            sorted_applied = bool((order != np.arange(num_subrows)).any())
+        else:
+            order = np.arange(num_subrows, dtype=np.int64)
     else:
-        order = np.arange(num_subrows, dtype=np.int64)
-        sorted_applied = False
+        order = np.zeros(0, dtype=np.int64)
 
     o_len = sub_len[order]
     o_start = sub_start[order]
-    o_orig = sub_orig[order]
+    o_row = sub_row[order]
+    o_stripe = sub_stripe[order]
 
-    # --- 3. slices and tile allocation ------------------------------------
-    # slices rounded to a multiple of 8 so y-slices group into (8, R) output
-    # blocks (TPU sublane granularity)
-    num_slices = _cdiv(max(1, _cdiv(num_subrows, R)), 8) * 8
-    padded_subrows = num_slices * R
-    slice_len = np.zeros(num_slices, dtype=np.int64)
-    if num_subrows:
-        np.maximum.at(slice_len, np.arange(num_subrows) // R, o_len)
-    ntiles = np.maximum(1, _cdiv_arr(slice_len, P))  # >=1: every slice visited
-    tile_base = np.concatenate(([0], np.cumsum(ntiles)))
+    # pad sub-row sequence so slices are stripe-pure (stripe changes only at
+    # slice boundaries)
+    if num_stripes > 1 and num_subrows:
+        keep_parts = []
+        for s in range(num_stripes):
+            idx = np.flatnonzero(o_stripe == s)
+            if idx.size == 0:
+                continue
+            keep_parts.append(idx)
+            pad = (-idx.size) % R
+            if pad:
+                keep_parts.append(np.full(pad, -1, dtype=np.int64))
+        slot_src = np.concatenate(keep_parts)
+    else:
+        slot_src = np.arange(num_subrows, dtype=np.int64)
+
+    num_slots = slot_src.shape[0]
+    num_slices = max(1, _cdiv(num_slots, R))
+    padded_slots_rows = num_slices * R
+
+    slot_len = np.zeros(padded_slots_rows, dtype=np.int64)
+    slot_valid = np.zeros(padded_slots_rows, dtype=bool)
+    slot_valid[:num_slots] = slot_src >= 0
+    slot_len[:num_slots][slot_src >= 0] = o_len[slot_src[slot_src >= 0]]
+
+    # --- 3. slices and tile allocation -------------------------------------
+    slice_len = slot_len.reshape(num_slices, R).max(axis=1)
+    ntiles = np.maximum(1, _cdiv(slice_len, P))
+
+    # stripe of each slice (slices are stripe-pure by construction; empty
+    # slices inherit the previous stripe so contiguity is preserved)
+    slice_stripe = np.zeros(num_slices, dtype=np.int64)
+    if num_stripes > 1 and num_slots:
+        slot_stripe = np.full(padded_slots_rows, -1, dtype=np.int64)
+        slot_stripe[:num_slots][slot_src >= 0] = \
+            o_stripe[slot_src[slot_src >= 0]]
+        for s in range(num_slices):
+            seg = slot_stripe[s * R:(s + 1) * R]
+            valid = seg[seg >= 0]
+            slice_stripe[s] = valid[0] if valid.size else \
+                (slice_stripe[s - 1] if s else 0)
+
+    # pad each stripe's tile count to a multiple of B so no kernel step
+    # straddles stripes (a step shares one x window across its B tiles);
+    # pad tiles attach to the stripe's last slice and hold only zeros
+    ntiles_padded = ntiles.copy()
+    if num_stripes > 1:
+        for stripe_val in np.unique(slice_stripe):
+            sel = np.flatnonzero(slice_stripe == stripe_val)
+            total = int(ntiles_padded[sel].sum())
+            pad = (-total) % B
+            if pad:
+                ntiles_padded[sel[-1]] += pad
+    else:
+        total = int(ntiles_padded.sum())
+        pad = (-total) % B
+        if pad:
+            ntiles_padded[-1] += pad
+    tile_base = np.concatenate(([0], np.cumsum(ntiles_padded)))
     T = int(tile_base[-1])
 
-    # --- 4. scatter nonzeros into tiles ------------------------------------
     vals = np.zeros((T, P, R), dtype=value_dtype)
     cols = np.zeros((T, P, R), dtype=np.int32)
     if nnz:
-        k = np.repeat(np.arange(num_subrows, dtype=np.int64), o_len)  # sorted slot
+        vsrc = slot_src[slot_src >= 0]
+        k_slot = np.flatnonzero(slot_valid)          # slot index per subrow
+        lens = o_len[vsrc]
+        k = np.repeat(k_slot, lens)
         q = np.arange(k.shape[0], dtype=np.int64) - \
-            np.repeat(np.cumsum(o_len) - o_len, o_len)                # pos in subrow
-        src = np.repeat(o_start, o_len) + q
+            np.repeat(np.cumsum(lens) - lens, lens)
+        src = np.repeat(o_start[vsrc], lens) + q
         s = k // R
-        j = k % R                         # lane (row within slice)
+        j = k % R
         t = tile_base[s] + q // P
-        p = q % P                         # sublane (position within tile)
+        p = q % P
         vals[t, p, j] = data[src].astype(value_dtype)
         cols[t, p, j] = indices[src].astype(np.int32)
 
     tile_slice = np.repeat(np.arange(num_slices, dtype=np.int32),
-                           ntiles.astype(np.int64))
+                           ntiles_padded)
 
-    # per-tile column stats (for the windowed-x strategy feasibility)
-    flat_cols = cols.reshape(T, -1)
-    has_any = vals.reshape(T, -1) != 0
-    cmin = np.where(has_any, flat_cols, np.iinfo(np.int32).max).min(axis=1)
-    cmax = np.where(has_any, flat_cols, -1).max(axis=1)
-    cmin = np.where(cmax >= 0, cmin, 0).astype(np.int32)
-    col_span = np.where(cmax >= 0, cmax - cmin.astype(np.int64) + 1, 0)
+    # --- 4. per-step window base + feasibility ------------------------------
+    flat_cols = cols.reshape(T // B, -1)
+    flat_valid = (vals.reshape(T // B, -1) != 0)
+    cmin = np.where(flat_valid, flat_cols, np.iinfo(np.int32).max).min(axis=1)
+    cmax = np.where(flat_valid, flat_cols, -1).max(axis=1)
+    any_valid = cmax >= 0
+    wb = np.where(any_valid, cmin, 0) // 128
+    span_blocks = np.where(any_valid, cmax // 128 - wb + 1, 1)
+    window_blocks = int(span_blocks.max()) if T else 1
+    if window_blocks > max_window_blocks:
+        window_blocks = 0                  # windowed kernel infeasible
+    max_window_base = int(wb.max()) if T else 0
 
-    # --- 5. fixup map -------------------------------------------------------
-    row_map = np.full(padded_subrows, rows, dtype=np.int32)
-    row_map[:num_subrows] = o_orig.astype(np.int32)
-    identity_map = (not sorted_applied) and num_splits == 0
+    # --- 5. fixup map --------------------------------------------------------
+    row_map = np.full(padded_slots_rows, rows, dtype=np.int32)
+    vmask = slot_valid[:num_slots]
+    row_map[:num_slots][vmask] = o_row[slot_src[:num_slots][vmask]].astype(
+        np.int32)
+    identity_map = (not sorted_applied) and num_splits == 0 and \
+        num_stripes == 1
 
     stats = PlanStats(
         nnz=nnz, num_tiles=T, num_slices=num_slices,
         num_subrows=num_subrows, num_splits=num_splits,
+        num_stripes=num_stripes,
         padded_slots=T * P * R - nnz,
         fill=float(nnz) / float(T * P * R) if T else 0.0,
-        max_tile_col_span=int(col_span.max()) if T else 0)
+        window_blocks=window_blocks, max_window_base=max_window_base)
 
     return SellPlan(vals=vals, cols=cols, tile_slice=tile_slice,
-                    tile_col_min=cmin, row_map=row_map,
+                    window_base=wb.astype(np.int32), row_map=row_map,
                     shape=(rows, cols_n), lane_rows=R, positions=P,
                     identity_map=identity_map, stats=stats)
 
 
-def auto_plan(a, *, value_dtype=np.float32, lane_rows: int = 128,
-              positions: int = 8) -> SellPlan:
-    """Heuristic plan: split/sigma only when the structure calls for it.
+def auto_plan(a, *, value_dtype=np.float32, max_window_blocks: int = 16,
+              lane_rows: int = 128, positions: int = 8) -> SellPlan:
+    """Heuristic plan selection driven by structure analyses.
 
-    The decision features are the TPU ports of the reference's
-    preprocessing analyses (maxAlive/maxColSpan/row-length histogram,
-    ``SparseMatrix.cpp:92-119``): skewed row lengths -> split + sigma sort;
-    balanced -> plain layout with the skippable-identity fast path.
+    Decision features are the TPU ports of the reference's preprocessing
+    analyses (maxAlive / maxColSpan / row-length histogram,
+    ``SparseMatrix.cpp:92-119``):
+
+    1. skewed row lengths -> split + sigma sort;
+    2. plain layout window-feasible -> done (banded / narrow matrices);
+    3. else, if rows touch few column stripes on average -> stripe the
+       columns so the windowed kernel applies;
+    4. else leave window-infeasible (the stream strategy handles it).
     """
     csr = _as_csr(a)
     lens = np.diff(np.asarray(csr.indptr, dtype=np.int64))
-    if lens.size == 0 or lens.max() == 0:
-        return build_sell_plan(csr, value_dtype=value_dtype,
-                               lane_rows=lane_rows, positions=positions)
-    mean = max(1.0, float(lens.mean()))
-    skew = float(lens.max()) / mean
+    kw = dict(value_dtype=value_dtype, lane_rows=lane_rows,
+              positions=positions, max_window_blocks=max_window_blocks)
     split = None
     sigma = None
-    if skew > 8.0:
-        # bound sub-rows near the mean (rounded to the sublane granule) and
-        # sort a few slices' worth so slices stay dense
-        split = int(max(positions, _cdiv(int(mean * 4), positions) * positions))
-        sigma = lane_rows * 8
-    elif float(lens.std()) > mean:
-        sigma = lane_rows * 8
-    return build_sell_plan(csr, value_dtype=value_dtype, lane_rows=lane_rows,
-                           positions=positions, sigma=sigma, split=split)
+    if lens.size and lens.max() > 0:
+        mean = max(1.0, float(lens.mean()))
+        if float(lens.max()) / mean > 8.0:
+            split = int(max(positions,
+                            _cdiv(int(mean * 4), positions) * positions))
+            sigma = lane_rows * 8
+        elif float(lens.std()) > mean:
+            sigma = lane_rows * 8
+    p = build_sell_plan(csr, sigma=sigma, split=split, **kw)
+    if p.stats.window_blocks or p.stats.nnz == 0:
+        return p
+    # estimate striping overhead: pieces ~= distinct (row, stripe) pairs
+    sw = max_window_blocks * 128
+    idx = np.asarray(csr.indices, dtype=np.int64) & 0x3FFFFFFF
+    nz_row = np.repeat(np.arange(csr.shape[0], dtype=np.int64), lens)
+    stripe = idx // sw
+    changes = np.ones(idx.shape[0], dtype=bool)
+    changes[1:] = (nz_row[1:] != nz_row[:-1]) | (stripe[1:] != stripe[:-1])
+    pieces = int(changes.sum())
+    if pieces and p.stats.nnz / pieces >= 4.0:
+        return build_sell_plan(csr, sigma=sigma, split=split,
+                               stripe_width=sw, **kw)
+    return p

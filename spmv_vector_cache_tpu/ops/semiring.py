@@ -52,8 +52,11 @@ class Semiring:
             return jax.ops.segment_min(values, segment_ids,
                                        num_segments=num_segments)
         if self.name == "or_and":
-            return jax.ops.segment_max(values.astype(jnp.int32), segment_ids,
-                                       num_segments=num_segments).astype(values.dtype)
+            # clamp before the cast back: empty segments fill with int32 min,
+            # which must read as False, not truthy
+            m = jax.ops.segment_max(values.astype(jnp.int32), segment_ids,
+                                    num_segments=num_segments)
+            return (m > 0).astype(values.dtype)
         raise NotImplementedError(f"segment reduce for semiring {self.name}")
 
 

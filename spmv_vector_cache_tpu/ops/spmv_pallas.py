@@ -6,32 +6,36 @@ reference's frontend/backend RTL (``chisel/backend/SpMVBackend.scala``,
 
 * the *backend* (4-channel DMA engine with FIFO-feedback throttling,
   ``SpMVBackend.scala:59-135``) becomes the Pallas grid pipeline: BlockSpec
-  index maps stream value/column tiles HBM->VMEM double-buffered by the
-  Mosaic pipeliner, with scalar-prefetched metadata steering the output
-  block (``PrefetchScalarGridSpec``);
+  index maps stream value/column tiles HBM->VMEM, double-buffered by the
+  Mosaic pipeliner, with a scalar-prefetched window table steering the x
+  blocks (``PrefetchScalarGridSpec``);
 * the *frontend* (multiply + hazard-interlocked scattered accumulate)
   becomes a sublane multiply-reduce: the SELL layout binds rows to lanes,
   so ``y[row] +=`` is a vector sum with no hazards to track;
-* the *result-vector placement* design space (BufferAll / BufferSel /
-  BufferNone / vector cache over y, SURVEY.md §2.1) maps onto placement of
-  the irregularly-accessed dense vector, which in the CSR dual is **x**:
+* the *result-vector placement* design space (BufferAll / BufferNone /
+  BufferSel / vector cache over y, SURVEY.md §2.1) maps onto placement of
+  the irregularly-accessed dense vector — in the CSR dual that is **x**:
 
-  - ``GATHER_STREAM``  (BufferNone analog) — x[cols] pre-gathered by an XLA
-    gather, streamed through HBM; every irregular access pays HBM
-    bandwidth, like the reference's every-operand-to-DDR variant
-    (``SpMVFrontendBufferNone.scala``);
-  - ``X_RESIDENT``     (BufferAll analog) — x held entirely in VMEM and
-    gathered in-kernel; capacity-capped exactly like ocmDepth caps rows in
-    ``SpMVFrontendBufferAll.scala``;
-  - ``X_WINDOW``       (BufferSel/cache analog) — a sliding column window
-    of x in VMEM, selected per tile by scalar-prefetched window indices;
-    feasible when the plan's per-tile column span is bounded (the
-    ``maxColSpan`` analysis, ``SparseMatrix.cpp:110-119``, decides).
+  - ``window`` strategy (the vector-cache / BufferSel / BufferAll analog):
+    a K*128-wide VMEM window of x slides under plan control
+    (``window_base``), and the kernel gathers lanes from it with K
+    ``take_along_axis`` passes (TPU's gather primitive covers exactly 128
+    lanes).  K comes from the plan's column-span analysis — the port of
+    ``maxColSpan`` (``SparseMatrix.cpp:110-119``).  A window covering all
+    of x *is* BufferAll; a sliding window is the cache; the plan's
+    column-striping mode manufactures locality when there is none, the
+    role the hybrid BufferSel plays in the reference;
+  - ``stream`` strategy (BufferNone analog): x[cols] pre-gathered by an
+    XLA gather through HBM — every irregular access pays memory latency,
+    like the every-operand-to-DDR variant
+    (``SpMVFrontendBufferNone.scala``); the robust fallback for layouts
+    where no window is feasible.
 
-Accumulation across tiles of one slice uses the revisiting-output pattern:
-``tile_slice`` is nondecreasing, so the y slice block stays VMEM-resident
-while its tiles stream past, and flushes once per slice — the TPU
-equivalent of the reference's write-combining y cache.
+The kernel emits per-tile partial sums (no cross-tile accumulation in the
+kernel, so the grid pipelines freely); a sorted segment-sum folds tiles
+into slices, and the plan's ``row_map`` fixup merges split/sigma/stripe
+sub-rows — both cheap XLA passes over data that is ~P*R times smaller than
+the nonzero stream.
 """
 
 from __future__ import annotations
@@ -44,199 +48,139 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..formats.plan import SellPlan
+from ..formats.plan import TILES_PER_STEP, SellPlan
 from ..utils import platform
 
 Array = Any
 
-
-# ---------------------------------------------------------------------------
-# kernel helpers
-# ---------------------------------------------------------------------------
-
-def _accumulate(tile_slice_ref, out_ref, partial):
-    """Accumulate a (1, R) slice partial into the (8, R) super-slice block.
-
-    The output block groups 8 y-slices (TPU sublane granularity); it is
-    zeroed when the grid enters a new super-slice, then every tile adds its
-    partial into sublane ``slice % 8``.  ``tile_slice`` is nondecreasing so
-    the block stays VMEM-resident until its last tile and flushes once —
-    the write-combining behavior the reference builds a vector cache for.
-    """
-    i = pl.program_id(0)
-    s = tile_slice_ref[i]
-    prev_super = tile_slice_ref[jnp.maximum(i, 1) - 1] // 8
-    first_of_super = jnp.logical_or(i == 0, (s // 8) != prev_super)
-
-    @pl.when(first_of_super)
-    def _():
-        out_ref[...] = jnp.zeros_like(out_ref)
-
-    r = s % 8
-    out_ref[pl.ds(r, 1), :] = out_ref[pl.ds(r, 1), :] + partial
-
-
-def _gather_lanes(x_row: Array, cols: Array) -> Array:
-    """Gather x values for a (P, R) column-index tile from a (1, C) row."""
-    P = cols.shape[0]
-    return jnp.take_along_axis(
-        jnp.broadcast_to(x_row, (P, x_row.shape[1])), cols, axis=1)
+STRATEGIES = ("window", "stream")
 
 
 # ---------------------------------------------------------------------------
-# strategy kernels + dispatchers
+# reductions shared by both strategies
 # ---------------------------------------------------------------------------
 
-def _kernel_gather_stream(tile_slice_ref, vals_ref, xg_ref, out_ref):
-    """GATHER_STREAM: products from pre-gathered x, sublane reduction."""
-    partial = jnp.sum(vals_ref[0] * xg_ref[0], axis=0)[None, :]
-    _accumulate(tile_slice_ref, out_ref, partial)
-
-
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _spmv_gather_stream(plan: SellPlan, x: Array,
-                        interpret: bool = False) -> Array:
-    T, P, R = plan.vals.shape
-    xg = jnp.take(x.astype(plan.vals.dtype), plan.cols, axis=0)  # (T, P, R)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(T,),
-        in_specs=[
-            pl.BlockSpec((1, P, R), lambda i, ts: (i, 0, 0)),
-            pl.BlockSpec((1, P, R), lambda i, ts: (i, 0, 0)),
-        ],
-        out_specs=pl.BlockSpec((8, R), lambda i, ts: (ts[i] // 8, 0)),
-    )
-    y2d = pl.pallas_call(
-        _kernel_gather_stream,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((plan.num_slices, R), plan.vals.dtype),
-        interpret=interpret,
-    )(plan.tile_slice, plan.vals, xg)
-    return _fixup(plan, y2d)
-
-
-def _kernel_x_resident(tile_slice_ref, vals_ref, cols_ref, x_ref, out_ref):
-    """X_RESIDENT: gather from whole-x VMEM block inside the kernel."""
-    xg = _gather_lanes(x_ref[...], cols_ref[0])
-    partial = jnp.sum(vals_ref[0] * xg, axis=0)[None, :]
-    _accumulate(tile_slice_ref, out_ref, partial)
-
-
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _spmv_x_resident(plan: SellPlan, x: Array,
-                     interpret: bool = False) -> Array:
-    T, P, R = plan.vals.shape
-    C = _pad_to(plan.shape[1], 128)
-    xp = jnp.zeros((1, C), plan.vals.dtype).at[0, :plan.shape[1]].set(
-        x.astype(plan.vals.dtype))
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(T,),
-        in_specs=[
-            pl.BlockSpec((1, P, R), lambda i, ts: (i, 0, 0)),
-            pl.BlockSpec((1, P, R), lambda i, ts: (i, 0, 0)),
-            pl.BlockSpec((1, C), lambda i, ts: (0, 0)),   # whole x, resident
-        ],
-        out_specs=pl.BlockSpec((8, R), lambda i, ts: (ts[i] // 8, 0)),
-    )
-    y2d = pl.pallas_call(
-        _kernel_x_resident,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((plan.num_slices, R), plan.vals.dtype),
-        interpret=interpret,
-    )(plan.tile_slice, plan.vals, plan.cols, xp)
-    return _fixup(plan, y2d)
-
-
-@functools.partial(jax.jit, static_argnames=("interpret", "window"))
-def _spmv_x_window(plan: SellPlan, x: Array, window: int,
-                   interpret: bool = False) -> Array:
-    """X_WINDOW: two adjacent W-wide x blocks form a 2W sliding window.
-
-    The window block index is ``tile_col_min // W``; any tile whose column
-    span is <= W is covered by [base*W, base*W + 2W).  Feasibility is the
-    planner's job (``stats.max_tile_col_span <= window``).
-    """
-    T, P, R = plan.vals.shape
-    W = window
-    if plan.stats.max_tile_col_span > W:
-        raise ValueError(
-            f"x_window infeasible: tile col span {plan.stats.max_tile_col_span}"
-            f" > window {W}")
-    # pad x so block indices base and base+1 are always in range
-    nblocks = _pad_to(plan.shape[1], W) // W + 1
-    xp = jnp.zeros((1, nblocks * W), plan.vals.dtype)
-    xp = xp.at[0, :plan.shape[1]].set(x.astype(plan.vals.dtype))
-    win_block = jnp.asarray(plan.tile_col_min, jnp.int32) // W    # (T,)
-
-    def kernel(ts_ref, wb_ref, vals_ref, cols_ref, xlo_ref, xhi_ref, out_ref):
-        i = pl.program_id(0)
-        base = wb_ref[i] * W
-        cols = cols_ref[0] - base
-        xw = jnp.concatenate([xlo_ref[...], xhi_ref[...]], axis=1)  # (1, 2W)
-        xg = _gather_lanes(xw, cols)
-        partial = jnp.sum(vals_ref[0] * xg, axis=0)[None, :]
-        _accumulate(ts_ref, out_ref, partial)
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,   # tile_slice, win_block
-        grid=(T,),
-        in_specs=[
-            pl.BlockSpec((1, P, R), lambda i, ts, wb: (i, 0, 0)),
-            pl.BlockSpec((1, P, R), lambda i, ts, wb: (i, 0, 0)),
-            pl.BlockSpec((1, W), lambda i, ts, wb: (0, wb[i])),
-            pl.BlockSpec((1, W), lambda i, ts, wb: (0, wb[i] + 1)),
-        ],
-        out_specs=pl.BlockSpec((8, R), lambda i, ts, wb: (ts[i] // 8, 0)),
-    )
-    y2d = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((plan.num_slices, R), plan.vals.dtype),
-        interpret=interpret,
-    )(plan.tile_slice, win_block, plan.vals, plan.cols, xp, xp)
-    return _fixup(plan, y2d)
-
-
-def _pad_to(n: int, m: int) -> int:
-    return -(-n // m) * m
-
-
-def _fixup(plan: SellPlan, y2d: Array) -> Array:
-    """Map flat sub-row results back to y (split/sigma merge)."""
+def _reduce_partials(plan: SellPlan, partials: Array) -> Array:
+    """(T, R) per-tile partials -> y: slice fold + sub-row fixup."""
     rows = plan.shape[0]
+    y2d = jax.ops.segment_sum(partials, jnp.asarray(plan.tile_slice),
+                              num_segments=plan.num_slices,
+                              indices_are_sorted=True)
     flat = y2d.reshape(-1)
     if plan.identity_map:
         return flat[:rows]
-    y = jax.ops.segment_sum(flat, plan.row_map, num_segments=rows + 1)
+    y = jax.ops.segment_sum(flat, jnp.asarray(plan.row_map),
+                            num_segments=rows + 1)
     return y[:rows]
+
+
+# ---------------------------------------------------------------------------
+# window strategy
+# ---------------------------------------------------------------------------
+
+def _make_window_kernel(K: int, P: int, R: int, B: int):
+    def kernel(wb_ref, vals_ref, cols_ref, *rest):
+        x_refs, out_ref = rest[:K], rest[K]
+        i = pl.program_id(0)
+        base = wb_ref[i] * 128
+        cols = cols_ref[...] - base                      # (B, P, R) in-window
+        v = vals_ref[...]
+        acc = jnp.zeros((B, P, R), v.dtype)
+        for b in range(K):
+            off = cols - b * 128
+            inb = (off >= 0) & (off < 128)
+            xb = x_refs[b][...]                          # (1, 128)
+            g = jnp.take_along_axis(
+                jnp.broadcast_to(xb, (B * P, 128)),
+                jnp.where(inb, off, 0).reshape(B * P, 128),
+                axis=1).reshape(B, P, R)
+            acc = acc + jnp.where(inb, g, jnp.zeros((), v.dtype)) * v
+        out_ref[...] = jnp.sum(acc, axis=1)              # (B, R)
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _spmv_window(plan: SellPlan, x: Array, interpret: bool = False) -> Array:
+    T, P, R = plan.vals.shape
+    B = TILES_PER_STEP
+    K = plan.stats.window_blocks
+    if K <= 0:
+        raise ValueError(
+            "window strategy infeasible for this plan "
+            "(stats.window_blocks == 0); rebuild with stripe_width or use "
+            "the 'stream' strategy")
+    # pad x so blocks wb .. wb+K-1 always exist
+    nblocks = max(-(-plan.shape[1] // 128), plan.stats.max_window_base + K)
+    xp = jnp.zeros((1, nblocks * 128), plan.vals.dtype)
+    xp = xp.at[0, :plan.shape[1]].set(jnp.asarray(x, plan.vals.dtype))
+
+    x_specs = [
+        pl.BlockSpec((1, 128), lambda i, wb, b=b: (0, wb[i] + b))
+        for b in range(K)
+    ]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,                    # window_base
+        grid=(T // B,),
+        in_specs=[
+            pl.BlockSpec((B, P, R), lambda i, wb: (i, 0, 0)),
+            pl.BlockSpec((B, P, R), lambda i, wb: (i, 0, 0)),
+            *x_specs,
+        ],
+        out_specs=pl.BlockSpec((B, R), lambda i, wb: (i, 0)),
+    )
+    partials = pl.pallas_call(
+        _make_window_kernel(K, P, R, B),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((T, R), plan.vals.dtype),
+        interpret=interpret,
+    )(plan.window_base, plan.vals, plan.cols, *([xp] * K))
+    return _reduce_partials(plan, partials)
+
+
+# ---------------------------------------------------------------------------
+# stream strategy
+# ---------------------------------------------------------------------------
+
+def _stream_kernel(vals_ref, xg_ref, out_ref):
+    out_ref[...] = jnp.sum(vals_ref[...] * xg_ref[...], axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _spmv_stream(plan: SellPlan, x: Array, interpret: bool = False) -> Array:
+    T, P, R = plan.vals.shape
+    B = TILES_PER_STEP
+    xg = jnp.take(jnp.asarray(x, plan.vals.dtype), plan.cols, axis=0)
+    partials = pl.pallas_call(
+        _stream_kernel,
+        grid=(T // B,),
+        in_specs=[
+            pl.BlockSpec((B, P, R), lambda i: (i, 0, 0)),
+            pl.BlockSpec((B, P, R), lambda i: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((B, R), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((T, R), plan.vals.dtype),
+        interpret=interpret,
+    )(plan.vals, xg)
+    return _reduce_partials(plan, partials)
 
 
 # ---------------------------------------------------------------------------
 # public entry
 # ---------------------------------------------------------------------------
 
-STRATEGIES = ("gather_stream", "x_resident", "x_window")
-
-
 def spmv_plan(plan: SellPlan, x: Array, *, strategy: str = "auto",
-              window: int = 2048, interpret: Optional[bool] = None) -> Array:
+              interpret: Optional[bool] = None) -> Array:
     """Run SpMV ``y = A @ x`` from a prebuilt :class:`SellPlan`.
 
-    strategy: 'gather_stream' | 'x_resident' | 'x_window' | 'auto'.
-    'auto' defers to :mod:`.strategy`'s selector features.
+    strategy: 'window' | 'stream' | 'auto' (window when the plan permits).
     """
     if interpret is None:
         interpret = platform.use_interpret()
     if strategy == "auto":
-        from .strategy import select_strategy
-        strategy = select_strategy(plan)
+        strategy = "window" if plan.stats.window_blocks > 0 else "stream"
     x = jnp.asarray(x)
-    if strategy == "gather_stream":
-        return _spmv_gather_stream(plan, x, interpret=interpret)
-    if strategy == "x_resident":
-        return _spmv_x_resident(plan, x, interpret=interpret)
-    if strategy == "x_window":
-        return _spmv_x_window(plan, x, window, interpret=interpret)
+    if strategy == "window":
+        return _spmv_window(plan, x, interpret=interpret)
+    if strategy == "stream":
+        return _spmv_stream(plan, x, interpret=interpret)
     raise ValueError(f"unknown strategy {strategy!r}")

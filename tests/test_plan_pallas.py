@@ -12,8 +12,6 @@ from tests.conftest import REFERENCE_MATRICES, random_csr, reference_available
 needs_reference = pytest.mark.skipif(
     not reference_available(), reason="reference matrices not mounted")
 
-STRATS = ["gather_stream", "x_resident", "x_window"]
-
 
 def _want(a, x):
     return reference.spmv_numpy(a, x.astype(np.float64))
@@ -28,18 +26,17 @@ def test_plan_basic_invariants(rng):
     p = planmod.build_sell_plan(a)
     T, P, R = p.vals.shape
     assert (P, R) == (8, 128)
+    assert T % planmod.TILES_PER_STEP == 0
     assert p.stats.nnz == a.nnz
     assert p.tile_slice.shape == (T,)
     assert np.all(np.diff(p.tile_slice) >= 0)          # nondecreasing
-    assert p.num_slices % 8 == 0                       # superslice alignment
+    assert p.window_base.shape == (T // planmod.TILES_PER_STEP,)
     assert p.identity_map
-    # every slice has at least one tile
-    assert set(np.asarray(p.tile_slice)) == set(range(p.num_slices))
+    # cols=200 -> window covers everything in 2 blocks
+    assert 0 < p.stats.window_blocks <= 2
 
 
 def test_plan_split_bounds_subrows(rng):
-    # one monster row (the row64k stress shape)
-    a = random_csr(rng, 64, 64, density=0.02)
     import scipy.sparse as sp
     dense = np.zeros((64, 64), np.float32)
     dense[0, :] = 1.0
@@ -57,11 +54,20 @@ def test_plan_sigma_improves_fill(rng):
     assert p1.stats.fill >= p0.stats.fill
 
 
+def test_plan_striping_bounds_window(rng):
+    a = random_csr(rng, 300, 5000, density=0.02)
+    p0 = planmod.build_sell_plan(a, max_window_blocks=4)
+    assert p0.stats.window_blocks == 0                 # too wide unstriped
+    p1 = planmod.build_sell_plan(a, stripe_width=512, max_window_blocks=4)
+    assert 0 < p1.stats.window_blocks <= 4
+    assert p1.stats.num_stripes > 1
+    assert not p1.identity_map
+
+
 def test_auto_plan_skewed_splits():
     import scipy.sparse as sp
-    rng = np.random.default_rng(0)
     dense = np.zeros((256, 256), np.float32)
-    dense[0, :] = 1.0                    # long row
+    dense[0, :] = 1.0
     dense[np.arange(256), np.arange(256)] = 1.0
     m = convert.from_scipy(sp.csr_matrix(dense))
     p = planmod.auto_plan(m)
@@ -72,35 +78,59 @@ def test_auto_plan_skewed_splits():
 # kernel correctness (interpret mode)
 # ---------------------------------------------------------------------------
 
-@pytest.mark.parametrize("strat", STRATS)
+@pytest.mark.parametrize("strat", ["window", "stream"])
 def test_kernels_match_reference(rng, strat):
     a = random_csr(rng, 500, 400, density=0.03)
     x = rng.standard_normal(400).astype(np.float32)
     p = planmod.build_sell_plan(a).to_device()
-    y = np.asarray(spmv_pallas.spmv_plan(p, x, strategy=strat, window=512))
+    y = np.asarray(spmv_pallas.spmv_plan(p, x, strategy=strat))
     np.testing.assert_allclose(y, _want(a, x), rtol=2e-5, atol=2e-5)
 
 
-@pytest.mark.parametrize("strat", STRATS)
+@pytest.mark.parametrize("strat", ["window", "stream"])
 def test_kernels_with_split_sigma(rng, strat):
     a = random_csr(rng, 400, 300, density=0.05)
     x = rng.standard_normal(300).astype(np.float32)
     p = planmod.build_sell_plan(a, split=8, sigma=512).to_device()
     assert not p.identity_map
-    y = np.asarray(spmv_pallas.spmv_plan(p, x, strategy=strat, window=512))
+    y = np.asarray(spmv_pallas.spmv_plan(p, x, strategy=strat))
+    np.testing.assert_allclose(y, _want(a, x), rtol=2e-5, atol=2e-5)
+
+
+def test_kernel_striped_window(rng):
+    a = random_csr(rng, 300, 5000, density=0.02)
+    x = rng.standard_normal(5000).astype(np.float32)
+    p = planmod.build_sell_plan(a, stripe_width=512,
+                                max_window_blocks=4).to_device()
+    y = np.asarray(spmv_pallas.spmv_plan(p, x, strategy="window"))
+    np.testing.assert_allclose(y, _want(a, x), rtol=2e-5, atol=2e-5)
+
+
+def test_kernel_banded_sliding_window(rng):
+    import scipy.sparse as sp
+    n = 2000
+    m = sp.spdiags(rng.standard_normal((5, n)).astype(np.float32),
+                   [-2, -1, 0, 1, 2], n, n).tocsr()
+    m.sort_indices()
+    a = convert.from_scipy(m.astype(np.float32))
+    x = rng.standard_normal(n).astype(np.float32)
+    p = planmod.auto_plan(a)
+    assert p.stats.window_blocks > 0                   # banded -> feasible
+    assert p.stats.num_stripes == 1                    # no striping needed
+    y = np.asarray(spmv_pallas.spmv_plan(p.to_device(), x, strategy="window"))
     np.testing.assert_allclose(y, _want(a, x), rtol=2e-5, atol=2e-5)
 
 
 def test_kernel_empty_rows(rng):
-    # matrix with empty rows and empty leading/trailing slices
     import scipy.sparse as sp
     dense = np.zeros((300, 100), np.float32)
     dense[150:160, :50] = rng.standard_normal((10, 50)).astype(np.float32)
     m = convert.from_scipy(sp.csr_matrix(dense))
     x = rng.standard_normal(100).astype(np.float32)
     p = planmod.build_sell_plan(m).to_device()
-    y = np.asarray(spmv_pallas.spmv_plan(p, x, strategy="gather_stream"))
-    np.testing.assert_allclose(y, _want(m, x), rtol=2e-5, atol=2e-5)
+    for strat in ("window", "stream"):
+        y = np.asarray(spmv_pallas.spmv_plan(p, x, strategy=strat))
+        np.testing.assert_allclose(y, _want(m, x), rtol=2e-5, atol=2e-5)
 
 
 @needs_reference
@@ -111,27 +141,31 @@ def test_kernels_vs_golden(name):
     gold = refio.load_golden(d)
     p = planmod.auto_plan(a).to_device()
     x = np.ones(a.shape[1], dtype=np.float32)
-    y = np.asarray(spmv_pallas.spmv_plan(p, x, strategy="gather_stream"))
+    y = np.asarray(spmv_pallas.spmv_plan(p, x, strategy="auto"))
     np.testing.assert_allclose(y, gold, rtol=1e-4, atol=1e-4)
 
 
-def test_x_window_infeasible_raises(rng):
-    a = random_csr(rng, 200, 4000, density=0.01)
-    p = planmod.build_sell_plan(a).to_device()
-    if p.stats.max_tile_col_span > 128:
+def test_window_infeasible_raises(rng):
+    a = random_csr(rng, 200, 40000, density=0.002)
+    p = planmod.build_sell_plan(a, max_window_blocks=2).to_device()
+    if p.stats.window_blocks == 0:
         with pytest.raises(ValueError, match="infeasible"):
-            spmv_pallas.spmv_plan(p, np.ones(4000, np.float32),
-                                  strategy="x_window", window=128)
+            spmv_pallas.spmv_plan(p, np.ones(40000, np.float32),
+                                  strategy="window")
 
 
 # ---------------------------------------------------------------------------
 # strategy selection
 # ---------------------------------------------------------------------------
 
-def test_select_strategy_small_matrix(rng):
+def test_select_strategy(rng):
     a = random_csr(rng, 100, 100, density=0.1)
     p = planmod.build_sell_plan(a)
-    assert strategy.select_strategy(p) in spmv_pallas.STRATEGIES
+    assert strategy.select_strategy(p) == "window"
+    wide = random_csr(rng, 100, 60000, density=0.001)
+    pw = planmod.build_sell_plan(wide, max_window_blocks=2)
+    if pw.stats.window_blocks == 0:
+        assert strategy.select_strategy(pw) == "stream"
 
 
 def test_autotune_runs(rng):
@@ -139,4 +173,4 @@ def test_autotune_runs(rng):
     p = planmod.build_sell_plan(a).to_device()
     x = np.ones(256, np.float32)
     res = strategy.autotune(p, x, iters=1)
-    assert "gather_stream" in res
+    assert "stream" in res and "window" in res

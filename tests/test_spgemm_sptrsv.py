@@ -1,0 +1,161 @@
+"""SpGEMM and triangular-solve/ILU(0) paths."""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+import jax.numpy as jnp
+
+from spmv_vector_cache_tpu.formats import convert
+from spmv_vector_cache_tpu.formats.containers import CSR
+from spmv_vector_cache_tpu.ops import spgemm as sg
+from spmv_vector_cache_tpu.ops import sptrsv
+from tests.conftest import random_csr
+
+
+def _scipy(a: CSR):
+    return sp.csr_matrix((np.asarray(a.data), np.asarray(a.indices),
+                          np.asarray(a.indptr)), shape=a.shape)
+
+
+# ---------------------------------------------------------------------------
+# SpGEMM
+# ---------------------------------------------------------------------------
+
+def test_spgemm_matches_scipy(rng):
+    a = random_csr(rng, 80, 60, density=0.08)
+    b = random_csr(rng, 60, 70, density=0.08)
+    c, plan = sg.spgemm(a, b)
+    want = (_scipy(a) @ _scipy(b)).toarray()
+    got = convert.to_dense(CSR(data=np.asarray(c.data), indices=c.indices,
+                               indptr=c.indptr, shape=c.shape))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_spgemm_pattern_reuse(rng):
+    a = random_csr(rng, 50, 50, density=0.1)
+    b = random_csr(rng, 50, 50, density=0.1)
+    c1, plan = sg.spgemm(a, b)
+    # new values, same pattern
+    a2 = CSR(data=np.asarray(a.data) * 2.0, indices=a.indices,
+             indptr=a.indptr, shape=a.shape)
+    c2, _ = sg.spgemm(a2, b, plan=plan)
+    np.testing.assert_allclose(np.asarray(c2.data),
+                               2.0 * np.asarray(c1.data), rtol=1e-6)
+
+
+def test_spgemm_host_matches_device(rng):
+    a = random_csr(rng, 64, 64, density=0.06)
+    b = random_csr(rng, 64, 64, density=0.06)
+    c_dev, _ = sg.spgemm(a, b)
+    c_host = sg.spgemm_host(a, b)
+    np.testing.assert_allclose(convert.to_dense(c_host),
+                               convert.to_dense(CSR(
+                                   data=np.asarray(c_dev.data),
+                                   indices=c_dev.indices,
+                                   indptr=c_dev.indptr, shape=c_dev.shape)),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_spgemm_shape_mismatch():
+    a = CSR(data=np.ones(1), indices=np.zeros(1, np.int32),
+            indptr=np.array([0, 1], np.int32), shape=(1, 1))
+    b = CSR(data=np.ones(1), indices=np.zeros(1, np.int32),
+            indptr=np.array([0, 1, 1], np.int32), shape=(2, 1))
+    with pytest.raises(ValueError, match="shape mismatch"):
+        sg.spgemm_symbolic(a, b)
+
+
+# ---------------------------------------------------------------------------
+# triangular solve
+# ---------------------------------------------------------------------------
+
+def _banded_lower(rng, n, band=5):
+    m = sp.spdiags(rng.standard_normal((band + 1, n)),
+                   list(range(-band, 1)), n, n).tocsr()
+    m = m + sp.eye(n) * (band + 2)       # well-conditioned diagonal
+    m = sp.tril(m).tocsr()
+    m.sort_indices()
+    return convert.from_scipy(m.astype(np.float32))
+
+
+def test_trisolve_lower(rng):
+    n = 500
+    a = _banded_lower(rng, n)
+    b = rng.standard_normal(n).astype(np.float32)
+    plan = sptrsv.build_trisolve_plan(a, lower=True)
+    x = np.asarray(sptrsv.trisolve(plan, b))
+    want = sp.linalg.spsolve_triangular(_scipy(a).tocsr(), b, lower=True)
+    np.testing.assert_allclose(x, want, rtol=2e-3, atol=2e-3)
+
+
+def test_trisolve_upper(rng):
+    n = 300
+    low = _banded_lower(rng, n)
+    up = convert.csc_to_csr(convert.csr_to_csc(low))
+    m = _scipy(low).T.tocsr()
+    m.sort_indices()
+    a = convert.from_scipy(m.astype(np.float32))
+    b = rng.standard_normal(n).astype(np.float32)
+    plan = sptrsv.build_trisolve_plan(a, lower=False)
+    x = np.asarray(sptrsv.trisolve(plan, b))
+    want = sp.linalg.spsolve_triangular(m.astype(np.float64), b, lower=False)
+    np.testing.assert_allclose(x, want, rtol=2e-3, atol=2e-3)
+
+
+def test_trisolve_zero_diag_raises(rng):
+    n = 64
+    m = sp.eye(n).tocsr()
+    m[3, 3] = 0.0
+    m = sp.tril(m.tocsr()).tocsr()
+    m.sort_indices()
+    a = convert.from_scipy(m.astype(np.float32))
+    with pytest.raises(ValueError, match="zero diagonal"):
+        sptrsv.build_trisolve_plan(a, lower=True)
+
+
+# ---------------------------------------------------------------------------
+# ILU(0)
+# ---------------------------------------------------------------------------
+
+def _spd_banded(rng, n, band=3):
+    m = sp.spdiags(rng.standard_normal((2 * band + 1, n)),
+                   list(range(-band, band + 1)), n, n).tocsr()
+    m = (m + m.T) * 0.1 + sp.eye(n) * (2 * band + 2)
+    m = m.tocsr()
+    m.sort_indices()
+    return convert.from_scipy(m.astype(np.float64))
+
+
+def test_ilu0_exact_on_full_band(rng):
+    # for a matrix whose LU has no fill outside the pattern (full band),
+    # ILU(0) == LU and L@U reproduces A
+    n = 200
+    a = _spd_banded(rng, n, band=2)
+    L, U = sptrsv.ilu0(a)
+    lu = _scipy(L) @ _scipy(U)
+    np.testing.assert_allclose(lu.toarray(), convert.to_dense(a),
+                               rtol=1e-8, atol=1e-8)
+
+
+def test_ilu0_preconditioner_accelerates_cg(rng):
+    from spmv_vector_cache_tpu.models import solvers
+    from spmv_vector_cache_tpu.ops import reference
+
+    n = 256
+    a = _spd_banded(rng, n, band=3)
+    a32 = CSR(data=np.asarray(a.data).astype(np.float32), indices=a.indices,
+              indptr=a.indptr, shape=a.shape)
+    b = rng.standard_normal(n).astype(np.float32)
+    L, U = sptrsv.ilu0(a)
+    lp = sptrsv.build_trisolve_plan(L, lower=True, unit_diag=True)
+    up = sptrsv.build_trisolve_plan(U, lower=False)
+
+    def M(r):
+        return sptrsv.trisolve(up, sptrsv.trisolve(lp, r))
+
+    matvec = lambda v: reference.spmv(a32, v)
+    plain = solvers.cg(matvec, jnp.asarray(b), tol=1e-8, maxiter=400)
+    pc = solvers.cg(matvec, jnp.asarray(b), tol=1e-8, maxiter=400, M=M)
+    assert int(pc.iterations) < int(plain.iterations)
+    assert float(pc.residual_norm) < 1e-4 * np.linalg.norm(b)
