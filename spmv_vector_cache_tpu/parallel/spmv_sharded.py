@@ -19,25 +19,27 @@ vector, overlap with per-shard compute.
     halos via ``ppermute`` — the ``maxColSpan``/bandwidth analysis
     (``SparseMatrix.cpp:110-119``) decides eligibility, exactly as it
     guided buffer sizing in the reference.
-* Per-shard compute is the single-chip Pallas kernel (or the XLA executor
-  on hosts without Mosaic); results concatenate along the row axis with no
-  cross-device reduction, because rows are uniquely owned.
+* Per-shard compute is the **same single-chip Pallas kernel** (the local
+  arrays reassemble into a :class:`SellPlan` inside the shard); on hosts
+  without Mosaic the XLA executor path substitutes.  Results concatenate
+  along the row axis with no cross-device reduction, because rows are
+  uniquely owned.
 """
 
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Any, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
-from ..formats.containers import CSR
-from ..formats.plan import PlanStats, SellPlan, build_sell_plan, _as_csr
 from ..formats import analysis
+from ..formats.containers import CSR
+from ..formats.plan import PlanStats, SellPlan, _as_csr, build_sell_plan
+from ..utils import platform
 
 Array = Any
 
@@ -49,71 +51,79 @@ class ShardedPlan:
 
     All shards share tile count T (zero-padded), so arrays are
     (D, T, P, R); ``rows_per_shard`` is the uniform row-block height
-    (last block zero-padded).  ``halo`` is the column halo width each side
-    needed by the banded exchange mode (0 = not banded / use all-gather).
+    (multiple of 128; last block zero-padded).  ``halo`` is the column
+    halo width each side (multiple of 128) for the banded exchange mode
+    (0 = not banded / use all-gather).  ``template_aux`` reconstructs a
+    local :class:`SellPlan` inside the shard.
     """
 
     vals: Array          # (D, T, P, R)
     cols: Array          # (D, T, P, R) — GLOBAL column indices
     tile_slice: Array    # (D, T)
-    row_map: Array       # (D, num_slices*R) — LOCAL row ids (or rows_per_shard)
+    window_base: Array   # (D, T/8) — global x window base per step
+    row_map: Array       # (D, num_slices*R) — LOCAL row ids (rps = padding)
     shape: Tuple[int, int]
     num_shards: int
     rows_per_shard: int
     identity_map: bool
     halo: int
+    window_blocks: int   # merged K (0 = window kernel infeasible somewhere)
+    max_window_base: int
 
-    _array_fields = ("vals", "cols", "tile_slice", "row_map")
+    _array_fields = ("vals", "cols", "tile_slice", "window_base", "row_map")
 
     def tree_flatten(self):
         children = tuple(getattr(self, f) for f in self._array_fields)
         aux = (self.shape, self.num_shards, self.rows_per_shard,
-               self.identity_map, self.halo)
+               self.identity_map, self.halo, self.window_blocks,
+               self.max_window_base)
         return children, aux
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        shape, num_shards, rows_per_shard, identity_map, halo = aux
-        vals, cols, tile_slice, row_map = children
+        (shape, num_shards, rows_per_shard, identity_map, halo,
+         window_blocks, max_window_base) = aux
+        vals, cols, tile_slice, window_base, row_map = children
         return cls(vals=vals, cols=cols, tile_slice=tile_slice,
-                   row_map=row_map, shape=shape, num_shards=num_shards,
-                   rows_per_shard=rows_per_shard, identity_map=identity_map,
-                   halo=halo)
+                   window_base=window_base, row_map=row_map, shape=shape,
+                   num_shards=num_shards, rows_per_shard=rows_per_shard,
+                   identity_map=identity_map, halo=halo,
+                   window_blocks=window_blocks,
+                   max_window_base=max_window_base)
 
     @property
     def num_slices(self) -> int:
         return int(self.row_map.shape[1]) // 128
 
 
+def _round_up(n: int, m: int) -> int:
+    return -(-n // m) * m
+
+
 def build_sharded_plan(a, num_shards: int, *, value_dtype=np.float32,
                        sigma: Optional[int] = None,
-                       split: Optional[int] = None) -> ShardedPlan:
+                       split: Optional[int] = None,
+                       max_window_blocks: int = 16) -> ShardedPlan:
     """Partition rows into ``num_shards`` blocks and plan each (host-side)."""
     csr = _as_csr(a)
     rows, cols_n = csr.shape
-    rps = -(-rows // num_shards)
+    rps = _round_up(_round_up(rows, num_shards) // num_shards, 128)
     indptr = np.asarray(csr.indptr, dtype=np.int64)
     indices = np.asarray(csr.indices)
     data = np.asarray(csr.data)
 
     plans = []
     for d in range(num_shards):
-        r0, r1 = d * rps, min((d + 1) * rps, rows)
-        e0, e1 = indptr[r0], indptr[max(r0, r1)]
+        r0, r1 = min(d * rps, rows), min((d + 1) * rps, rows)
+        e0, e1 = indptr[r0], indptr[r1]
+        local_indptr = np.concatenate([
+            (indptr[r0:r1 + 1] - e0) if r1 > r0 else np.zeros(1, np.int64),
+            np.full(rps - (r1 - r0), e1 - e0, np.int64)]).astype(np.int32)
         sub = CSR(data=data[e0:e1], indices=indices[e0:e1],
-                  indptr=(indptr[r0:r1 + 1] - e0).astype(np.int32)
-                  if r1 > r0 else np.zeros(1, np.int32),
-                  shape=(max(r1 - r0, 0) or 1, cols_n))
-        # uniform local shape: pad the row count to rps
-        sub = CSR(data=sub.data, indices=sub.indices,
-                  indptr=np.concatenate([
-                      np.asarray(sub.indptr),
-                      np.full(rps - (r1 - r0), np.asarray(sub.indptr)[-1],
-                              np.int32)]).astype(np.int32)
-                  if (r1 - r0) < rps else sub.indptr,
-                  shape=(rps, cols_n))
-        plans.append(build_sell_plan(sub, value_dtype=value_dtype,
-                                     sigma=sigma, split=split))
+                  indptr=local_indptr, shape=(rps, cols_n))
+        plans.append(build_sell_plan(
+            sub, value_dtype=value_dtype, sigma=sigma, split=split,
+            max_window_blocks=max_window_blocks))
 
     T = max(p.num_tiles for p in plans)
     S = max(p.num_slices for p in plans)
@@ -122,42 +132,61 @@ def build_sharded_plan(a, num_shards: int, *, value_dtype=np.float32,
     vals = np.zeros((D, T, Pp, R), dtype=value_dtype)
     cols = np.zeros((D, T, Pp, R), dtype=np.int32)
     tile_slice = np.zeros((D, T), dtype=np.int32)
+    window_base = np.zeros((D, T // 8), dtype=np.int32)
     row_map = np.full((D, S * R), rps, dtype=np.int32)
     for d, p in enumerate(plans):
         t = p.num_tiles
         vals[d, :t] = p.vals
         cols[d, :t] = p.cols
         tile_slice[d, :t] = p.tile_slice
-        # padding tiles: park them on the last slice (they contribute zeros)
-        tile_slice[d, t:] = S - 1
-        row_map[d, :p.row_map.shape[0]] = np.where(
-            p.row_map == rps, rps, p.row_map)
+        tile_slice[d, t:] = S - 1          # padding tiles: last slice, zeros
+        window_base[d, :t // 8] = p.window_base
+        row_map[d, :p.row_map.shape[0]] = p.row_map
 
     identity = all(p.identity_map for p in plans) and \
         all(p.num_slices == S for p in plans)
+    wb_feasible = all(p.stats.window_blocks > 0 for p in plans)
+    window_blocks = max(p.stats.window_blocks for p in plans) \
+        if wb_feasible else 0
+    max_window_base = max(p.stats.max_window_base for p in plans)
 
-    # halo width: max distance from a referenced column to the shard's own
-    # column block [d*rps, (d+1)*rps) — bounded for banded matrices
     bw = analysis.bandwidth(csr)
-    halo = int(bw) if bw < rps else 0
+    halo = _round_up(int(bw), 128) if 0 < bw <= rps else 0
 
     return ShardedPlan(vals=vals, cols=cols, tile_slice=tile_slice,
-                       row_map=row_map, shape=(rows, cols_n),
-                       num_shards=D, rows_per_shard=rps,
-                       identity_map=identity, halo=halo)
+                       window_base=window_base, row_map=row_map,
+                       shape=(rows, cols_n), num_shards=D,
+                       rows_per_shard=rps, identity_map=identity,
+                       halo=halo, window_blocks=window_blocks,
+                       max_window_base=max_window_base)
 
 
 # ---------------------------------------------------------------------------
-# local (per-shard) executor — XLA path, shard_map friendly
+# local (per-shard) executors
 # ---------------------------------------------------------------------------
+
+def _local_plan(sp: ShardedPlan, vals, cols, tile_slice, window_base,
+                row_map, x_len: int, max_wb: int) -> SellPlan:
+    """Reassemble a single-shard SellPlan from shard-local arrays."""
+    T, P, R = vals.shape
+    stats = PlanStats(
+        nnz=0, num_tiles=T, num_slices=sp.num_slices,
+        num_subrows=sp.rows_per_shard, num_splits=0, num_stripes=1,
+        padded_slots=0, fill=0.0,
+        window_blocks=sp.window_blocks, max_window_base=max_wb)
+    return SellPlan(vals=vals, cols=cols, tile_slice=tile_slice,
+                    window_base=window_base, row_map=row_map,
+                    shape=(sp.rows_per_shard, x_len), lane_rows=R,
+                    positions=P, identity_map=sp.identity_map, stats=stats)
+
 
 def _local_spmv_xla(vals, cols, tile_slice, row_map, x_full, *,
                     num_slices: int, rows_local: int, identity: bool):
-    """Per-shard SpMV on gathered x (pure XLA: robust under shard_map on
-    any backend; the Pallas kernel slots in on TPU via the same contract)."""
+    """Per-shard SpMV in pure XLA (portable fallback; slow gather)."""
     xg = jnp.take(x_full, cols, axis=0)                    # (T, P, R)
     partial_t = jnp.sum(vals * xg, axis=1)                 # (T, R)
-    y2d = jax.ops.segment_sum(partial_t, tile_slice, num_segments=num_slices)
+    y2d = jax.ops.segment_sum(partial_t, tile_slice, num_segments=num_slices,
+                              indices_are_sorted=True)
     flat = y2d.reshape(-1)
     if identity:
         return flat[:rows_local]
@@ -166,51 +195,84 @@ def _local_spmv_xla(vals, cols, tile_slice, row_map, x_full, *,
 
 
 def spmv_sharded(sp: ShardedPlan, x: Array, mesh: Mesh, *,
-                 axis: str = "x", mode: str = "auto") -> Array:
+                 axis: str = "x", mode: str = "auto",
+                 use_pallas: Optional[bool] = None,
+                 interpret: Optional[bool] = None) -> Array:
     """Distributed ``y = A @ x`` with x and y row-sharded over ``axis``.
 
     ``mode``: 'all_gather' | 'halo' | 'auto' (halo when the plan's
-    bandwidth permits).  Returns y sharded like x.
+    bandwidth permits).  ``use_pallas``: run the single-chip Pallas window
+    kernel per shard (default: when feasible and on TPU or in interpret
+    mode).  Returns y (unsharded host view; sharded under jit).
     """
     if mode == "auto":
         mode = "halo" if 0 < sp.halo <= sp.rows_per_shard else "all_gather"
+    if interpret is None:
+        interpret = platform.use_interpret()
+    if use_pallas is None:
+        use_pallas = sp.window_blocks > 0
+    use_pallas = use_pallas and sp.window_blocks > 0
     D, rps = sp.num_shards, sp.rows_per_shard
     rows = sp.shape[0]
     num_slices = sp.num_slices
     identity = sp.identity_map
     halo = sp.halo
 
+    from ..ops.spmv_pallas import spmv_plan as run_plan
+
+    if sp.shape[1] > D * rps:
+        raise ValueError(
+            f"cols ({sp.shape[1]}) exceed the sharded x capacity "
+            f"({D} shards x {rps}); row-partitioning assumes cols <= rows "
+            "padded — transpose or pad the matrix")
     xp = jnp.zeros(D * rps, sp.vals.dtype).at[:sp.shape[1]].set(
         jnp.asarray(x, sp.vals.dtype))
 
-    def local_fn(vals, cols, tile_slice, row_map, x_shard):
+    # static geometry per mode
+    if mode == "all_gather":
+        x_len = D * rps
+        max_wb = sp.max_window_base
+    else:
+        x_len = rps + 2 * halo
+        # local wb = global wb - (d*rps - halo)/128 (clip only affects
+        # all-zero padding tiles); pad x generously so wb+K always fits
+        max_wb = x_len // 128
+
+    def local_fn(vals, cols, tile_slice, window_base, row_map, x_shard):
         vals, cols = vals[0], cols[0]
         tile_slice, row_map = tile_slice[0], row_map[0]
+        window_base = window_base[0]
         x_shard = x_shard.reshape(-1)                     # (rps,)
         if mode == "all_gather":
             x_full = jax.lax.all_gather(x_shard, axis).reshape(-1)
             cols_local = cols
+            wb_local = window_base
         else:
-            # banded: fetch left/right halos from ring neighbors
             d = jax.lax.axis_index(axis)
             left = jax.lax.ppermute(x_shard[-halo:], axis,
                                     [(i, (i + 1) % D) for i in range(D)])
             right = jax.lax.ppermute(x_shard[:halo], axis,
                                      [(i, (i - 1) % D) for i in range(D)])
             x_full = jnp.concatenate([left, x_shard, right])
-            # rebase columns into the halo window [d*rps - halo, ...)
-            cols_local = cols - (d * rps - halo)
-            cols_local = jnp.clip(cols_local, 0, x_full.shape[0] - 1)
-        y_local = _local_spmv_xla(vals, cols_local, tile_slice, row_map,
-                                  x_full, num_slices=num_slices,
-                                  rows_local=rps, identity=identity)
+            shift = d * rps - halo                        # multiple of 128
+            cols_local = jnp.clip(cols - shift, 0, x_full.shape[0] - 1)
+            wb_local = jnp.clip(window_base - shift // 128, 0, max_wb)
+        if use_pallas:
+            lp = _local_plan(sp, vals, cols_local, tile_slice, wb_local,
+                             row_map, x_len, max_wb)
+            y_local = run_plan(lp, x_full, strategy="window",
+                               interpret=interpret)
+        else:
+            y_local = _local_spmv_xla(
+                vals, cols_local, tile_slice, row_map, x_full,
+                num_slices=num_slices, rows_local=rps, identity=identity)
         return y_local[None, :]
 
     fn = jax.shard_map(
         local_fn, mesh=mesh,
-        in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis)),
-        out_specs=P(axis))
-    y = fn(sp.vals, sp.cols, sp.tile_slice, sp.row_map,
+        in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis), P(axis)),
+        out_specs=P(axis), check_vma=False)  # pallas_call lacks vma metadata
+    y = fn(sp.vals, sp.cols, sp.tile_slice, sp.window_base, sp.row_map,
            xp.reshape(D, rps))
     return y.reshape(-1)[:rows]
 
@@ -231,7 +293,8 @@ def spmm_sharded(sp: ShardedPlan, b: Array, mesh: Mesh, *,
         contrib = jnp.einsum("tpr,tprk->trk", vals, bg,
                              preferred_element_type=vals.dtype)
         y3d = jax.ops.segment_sum(contrib, tile_slice,
-                                  num_segments=num_slices)  # (S, R, k)
+                                  num_segments=num_slices,
+                                  indices_are_sorted=True)  # (S, R, k)
         flat = y3d.reshape(-1, k)
         if identity:
             return flat[None, :rps]
@@ -241,7 +304,7 @@ def spmm_sharded(sp: ShardedPlan, b: Array, mesh: Mesh, *,
     fn = jax.shard_map(
         local_fn, mesh=mesh,
         in_specs=(P(axis), P(axis), P(axis), P(axis), P()),
-        out_specs=P(axis))
+        out_specs=P(axis), check_vma=False)
     y = fn(sp.vals, sp.cols, sp.tile_slice, sp.row_map,
            jnp.asarray(b, sp.vals.dtype))
     return y.reshape(-1, k)[:rows]

@@ -1,0 +1,104 @@
+"""Benchmark application: strategy x matrix sweep with golden checks.
+
+The role of the reference's interactive benchmark REPL
+(``software/main.cpp:146-264``): for every (configuration, matrix) pair it
+reconfigures the accelerator, runs a software check pass, runs hardware,
+compares against golden, and prints one CSV row.  Here "configurations"
+are execution strategies (no bitfiles to flash — strategy is an argument),
+the software check is the numpy host loop, and the CSV carries the
+statKeys taxonomy plus roofline audits.
+
+Usage:
+  python -m spmv_vector_cache_tpu.tools.benchapp \
+      [--strategies window,stream] [--iters 10] [--cpu] <matrix-dir>...
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+from typing import List
+
+import numpy as np
+
+
+def run_sweep(matrix_dirs: List[str], strategies: List[str], iters: int,
+              out=sys.stdout) -> int:
+    import jax.numpy as jnp
+
+    from ..formats import refio
+    from ..formats.plan import auto_plan
+    from ..ops import reference
+    from ..ops.spmv_pallas import spmv_plan
+    from ..ops.strategy import _time_device
+    from ..utils.stats import StatRegistry, csv_rows
+
+    registries, extras = [], []
+    rc = 0
+    for d in matrix_dirs:
+        name = os.path.basename(os.path.normpath(d))
+        try:
+            a = refio.load_reference_matrix(d)
+        except (OSError, ValueError) as e:
+            print(f"error: cannot load {d}: {e}", file=sys.stderr)
+            rc = 1
+            continue
+        gold = refio.load_golden(d)
+        x = np.ones(a.shape[1], dtype=np.float32)
+        # software check pass (benchmarkSW role, main.cpp:102-144)
+        sw = reference.spmv_numpy(a, x.astype(np.float64))
+        plan = auto_plan(a).to_device()
+
+        for strat in strategies:
+            stats = StatRegistry()
+            stats.update({k: v for k, v in plan.stats.as_dict().items()
+                          if isinstance(v, (int, float))})
+            try:
+                y = np.asarray(spmv_plan(plan, jnp.asarray(x),
+                                         strategy=strat))
+            except ValueError as e:   # infeasible strategy for this plan
+                extras.append({"matrix": name, "strategy": strat,
+                               "status": "infeasible"})
+                registries.append(stats)
+                continue
+            # diffFromGolden (HardwareSpMV.cpp:54-61): count of mismatched
+            # entries vs the software pass / golden file
+            tol = 1e-4 * max(1.0, float(np.abs(sw).max()))
+            diff_sw = int((np.abs(y - sw) > tol).sum())
+            diff_gold = (int((np.abs(y - gold) > tol).sum())
+                         if gold is not None else -1)
+            if diff_sw:
+                rc = 1
+            dt = _time_device(
+                lambda s=strat: spmv_plan(plan, jnp.asarray(x), strategy=s),
+                iters=iters)
+            stats["spmvtime"] = dt
+            stats["gnnz_per_s"] = plan.stats.nnz / dt / 1e9
+            stats["diffFromSW"] = diff_sw
+            stats["diffFromGolden"] = diff_gold
+            registries.append(stats)
+            extras.append({"matrix": name, "strategy": strat,
+                           "status": "ok" if diff_sw == 0 else "MISMATCH"})
+    out.write(csv_rows(registries, extras))
+    return rc
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("matrices", nargs="+", help="matrix directories "
+                    "(reference wire format)")
+    ap.add_argument("--strategies", default="auto",
+                    help="comma list: auto,window,stream")
+    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--cpu", action="store_true",
+                    help="force CPU backend (interpret mode)")
+    args = ap.parse_args(argv)
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    return run_sweep(args.matrices, args.strategies.split(","), args.iters)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -24,8 +24,9 @@ def test_sharded_plan_shapes(rng):
     sp = build_sharded_plan(a, 8)
     assert sp.vals.shape[0] == 8
     assert sp.num_shards == 8
-    assert sp.rows_per_shard == 125
+    assert sp.rows_per_shard == 128          # rounded to lane multiple
     assert sp.vals.shape == sp.cols.shape
+    assert sp.window_base.shape == (8, sp.vals.shape[1] // 8)
 
 
 def test_spmv_sharded_all_gather(rng):
