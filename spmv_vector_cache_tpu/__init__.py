@@ -20,9 +20,12 @@ Built from scratch with the capabilities of the FPGA SpMV accelerator
   layer, exposed via ctypes.
 """
 
-from . import formats, ops, utils  # noqa: F401
+from . import formats, models, ops, parallel, utils  # noqa: F401
 from .formats.containers import BSR, COO, CSC, CSR, ELL  # noqa: F401
+from .formats.plan import auto_plan  # noqa: F401
 from .ops import semiring  # noqa: F401
+from .ops.operator import SparseOperator  # noqa: F401
 from .ops.reference import golden, spmm, spmv, spmv_numpy  # noqa: F401
+from .ops.spmv_pallas import spmv_plan  # noqa: F401
 
 __version__ = "0.1.0"

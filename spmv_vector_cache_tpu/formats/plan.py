@@ -67,6 +67,7 @@ class PlanStats:
     fill: float             # nnz / (num_tiles * P * R)
     window_blocks: int      # K required by the windowed kernel (0 = infeasible)
     max_window_base: int    # max of window_base (static x padding bound)
+    groups_per_step: int    # 8-tile window groups fused per kernel grid step
 
     def as_dict(self):
         return dataclasses.asdict(self)
@@ -331,6 +332,22 @@ def build_sell_plan(a, *, lane_rows: int = 128, positions: int = 8,
         window_blocks = 0                  # windowed kernel infeasible
     max_window_base = int(wb.max()) if T else 0
 
+    # fuse G groups of 8 tiles per kernel grid step: amortizes per-step
+    # pipeline overhead while each group keeps its own small window
+    # (probe-tuned: ~64 tiles/step is the throughput knee; cap G*K so the
+    # kernel's x-operand count stays moderate)
+    groups = max(1, min(8, 64 // max(window_blocks, 1))) \
+        if window_blocks else 8
+    step = B * groups
+    if T % step:
+        pad = step - T % step
+        vals = np.concatenate([vals, np.zeros((pad, P, R), vals.dtype)])
+        cols = np.concatenate([cols, np.zeros((pad, P, R), cols.dtype)])
+        tile_slice = np.concatenate(
+            [tile_slice, np.full(pad, num_slices - 1, np.int32)])
+        wb = np.concatenate([wb, np.zeros(pad // B, wb.dtype)])
+        T = T + pad
+
     # --- 5. fixup map --------------------------------------------------------
     row_map = np.full(padded_slots_rows, rows, dtype=np.int32)
     vmask = slot_valid[:num_slots]
@@ -345,7 +362,8 @@ def build_sell_plan(a, *, lane_rows: int = 128, positions: int = 8,
         num_stripes=num_stripes,
         padded_slots=T * P * R - nnz,
         fill=float(nnz) / float(T * P * R) if T else 0.0,
-        window_blocks=window_blocks, max_window_base=max_window_base)
+        window_blocks=window_blocks, max_window_base=max_window_base,
+        groups_per_step=groups)
 
     return SellPlan(vals=vals, cols=cols, tile_slice=tile_slice,
                     window_base=wb.astype(np.int32), row_map=row_map,

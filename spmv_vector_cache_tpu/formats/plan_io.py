@@ -1,0 +1,66 @@
+"""Plan serialization: save/load SELL plans (and their config identity).
+
+The reference encodes each built variant's configuration into artifact
+names — ``suffix = [cms-][nb<maxMiss>-]<ocmDepth>-<issueWindow>``
+(``chisel/spmv-common/spmv-common.scala:36-40``) — and reuses synthesized
+bitfiles across runs.  The analog here: a plan is the expensive
+preprocessing artifact; it serializes to one ``.npz`` with a config
+suffix in its metadata, so repeated runs (or other hosts of a pod job)
+skip planning.
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+
+from .plan import PlanStats, SellPlan
+
+_FORMAT_VERSION = 1
+
+
+def config_suffix(plan: SellPlan) -> str:
+    """Human-readable config identity (the artifact-suffix role)."""
+    s = plan.stats
+    parts = [f"k{s.window_blocks}" if s.window_blocks else "stream",
+             f"g{s.groups_per_step}",
+             f"{plan.positions}x{plan.lane_rows}"]
+    if s.num_stripes > 1:
+        parts.insert(0, f"stripe{s.num_stripes}")
+    if s.num_splits:
+        parts.insert(0, f"split{s.num_splits}")
+    return "-".join(parts)
+
+
+def save_plan(plan: SellPlan, path: str) -> str:
+    leaves, aux = plan.tree_flatten()
+    shape, lane_rows, positions, identity_map, stats = aux
+    meta = {
+        "version": _FORMAT_VERSION,
+        "shape": list(shape),
+        "lane_rows": lane_rows,
+        "positions": positions,
+        "identity_map": bool(identity_map),
+        "stats": stats.as_dict(),
+        "suffix": config_suffix(plan),
+    }
+    np.savez_compressed(
+        path,
+        meta=np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8),
+        **{name: np.asarray(leaf)
+           for name, leaf in zip(SellPlan._array_fields, leaves)})
+    return path
+
+
+def load_plan(path: str) -> SellPlan:
+    with np.load(path) as z:
+        meta = json.loads(bytes(z["meta"].tobytes()).decode())
+        if meta["version"] != _FORMAT_VERSION:
+            raise ValueError(f"unsupported plan version {meta['version']}")
+        arrays = {name: z[name] for name in SellPlan._array_fields}
+    stats = PlanStats(**meta["stats"])
+    return SellPlan(shape=tuple(meta["shape"]), lane_rows=meta["lane_rows"],
+                    positions=meta["positions"],
+                    identity_map=meta["identity_map"], stats=stats,
+                    **arrays)

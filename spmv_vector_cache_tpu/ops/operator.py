@@ -1,0 +1,115 @@
+"""SparseOperator — the user-facing handle (the reference's ``SpMV`` class).
+
+The reference models a problem as an object holding (A, x, y) with
+``exec()`` and a stats surface (``software/SpMV.h:8-35``), specialized per
+execution backend (software / per-bitfile hardware variants) and built by
+a factory probing what is loaded (``HWSpMVFactory.cpp:20-38``).  Here the
+operator owns the planned matrix + chosen strategy and exposes matvec /
+matmat, a stats registry, and solver-ready closures; the "factory" is the
+plan-driven strategy selection with optional autotune.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..formats import analysis
+from ..formats.plan import SellPlan, auto_plan
+from ..utils.stats import StatRegistry
+from . import reference
+from .spmv_pallas import spmv_plan
+from .strategy import autotune, select_strategy
+
+Array = Any
+
+
+class SparseOperator:
+    """A planned sparse matrix ready for repeated application.
+
+    >>> op = SparseOperator.from_matrix(a)          # plans + selects
+    >>> y = op @ x                                  # Pallas SpMV
+    >>> res = cg(op.matvec, b)                      # solver-ready
+    """
+
+    def __init__(self, plan: SellPlan, strategy: str = "auto",
+                 matrix=None):
+        self.plan = plan
+        self.strategy = (select_strategy(plan) if strategy == "auto"
+                         else strategy)
+        self._matrix = matrix              # optional original container
+        self.stats = StatRegistry(
+            {k: v for k, v in plan.stats.as_dict().items()
+             if isinstance(v, (int, float))})
+        self.stats["strategy_window"] = int(self.strategy == "window")
+
+    # -- construction -----------------------------------------------------
+    @classmethod
+    def from_matrix(cls, a, *, strategy: str = "auto",
+                    value_dtype=np.float32, tune: bool = False,
+                    **plan_kwargs) -> "SparseOperator":
+        """Plan ``a`` (any container) and select an execution strategy.
+
+        ``tune=True`` runs the timing sweep (the gen-*.sh bitfile-sweep
+        role) instead of the structure heuristic.
+        """
+        plan = auto_plan(a, value_dtype=value_dtype, **plan_kwargs)
+        op = cls(plan.to_device(), strategy=strategy, matrix=a)
+        if tune and strategy == "auto":
+            x = np.ones(a.shape[1], value_dtype)
+            results = autotune(op.plan, x, iters=5, stats=op.stats)
+            if results:
+                op.strategy = min(results.values(),
+                                  key=lambda r: r.seconds).strategy
+        return op
+
+    # -- application ------------------------------------------------------
+    @property
+    def shape(self):
+        return self.plan.shape
+
+    def matvec(self, x: Array) -> Array:
+        return spmv_plan(self.plan, x, strategy=self.strategy)
+
+    def __matmul__(self, x: Array) -> Array:
+        x = jnp.asarray(x)
+        if x.ndim == 1:
+            return self.matvec(x)
+        if self._matrix is None:
+            raise ValueError("matmat needs the original container; "
+                             "construct via from_matrix")
+        return reference.spmm(self._matrix, x)
+
+    def exec(self, x: Array, y: Optional[Array] = None) -> Array:
+        """Timed application with stat recording (SpMV::exec role,
+        ``SoftwareSpMV.cpp:50-70``): returns ``y (+)= A @ x``."""
+        t0 = time.perf_counter()
+        out = self.matvec(x)
+        out_host = np.asarray(out)          # sync (D2H)
+        dt = time.perf_counter() - t0
+        self.stats["spmvtime"] = dt
+        self.stats["gnnz_per_s"] = self.plan.stats.nnz / dt / 1e9
+        if y is not None:
+            out_host = out_host + np.asarray(y)
+        return out_host
+
+    # -- verification -----------------------------------------------------
+    def compare_golden(self, x: Array, golden: Array,
+                       rtol: float = 1e-4, atol: float = 1e-4) -> int:
+        """Count of entries outside tolerance vs a golden result — the
+        ``compareGolden``/diffFromGolden stat (``HardwareSpMV.cpp:37-61``,
+        tolerance-based per the float policy)."""
+        y = np.asarray(self.matvec(x), dtype=np.float64)
+        g = np.asarray(golden, dtype=np.float64)
+        bad = int((np.abs(y - g) > atol + rtol * np.abs(g)).sum())
+        self.stats["diffFromGolden"] = bad
+        return bad
+
+    def __repr__(self):
+        s = self.plan.stats
+        return (f"SparseOperator(shape={self.plan.shape}, nnz={s.nnz}, "
+                f"strategy={self.strategy!r}, K={s.window_blocks}, "
+                f"fill={s.fill:.3f})")

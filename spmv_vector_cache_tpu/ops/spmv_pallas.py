@@ -78,24 +78,29 @@ def _reduce_partials(plan: SellPlan, partials: Array) -> Array:
 # window strategy
 # ---------------------------------------------------------------------------
 
-def _make_window_kernel(K: int, P: int, R: int, B: int):
+def _make_window_kernel(K: int, G: int, P: int, R: int, B: int):
+    """Kernel over one grid step = G groups of B=8 tiles; group g gathers
+    from its own K x 128 window (x_refs[g*K + b])."""
     def kernel(wb_ref, vals_ref, cols_ref, *rest):
-        x_refs, out_ref = rest[:K], rest[K]
+        x_refs, out_ref = rest[:G * K], rest[G * K]
         i = pl.program_id(0)
-        base = wb_ref[i] * 128
-        cols = cols_ref[...] - base                      # (B, P, R) in-window
-        v = vals_ref[...]
-        acc = jnp.zeros((B, P, R), v.dtype)
-        for b in range(K):
-            off = cols - b * 128
-            inb = (off >= 0) & (off < 128)
-            xb = x_refs[b][...]                          # (1, 128)
-            g = jnp.take_along_axis(
-                jnp.broadcast_to(xb, (B * P, 128)),
-                jnp.where(inb, off, 0).reshape(B * P, 128),
-                axis=1).reshape(B, P, R)
-            acc = acc + jnp.where(inb, g, jnp.zeros((), v.dtype)) * v
-        out_ref[...] = jnp.sum(acc, axis=1)              # (B, R)
+        v = vals_ref[...]                                # (G*B, P, R)
+        cols = cols_ref[...]
+        for g in range(G):
+            base = wb_ref[i * G + g] * 128
+            cg = cols[g * B:(g + 1) * B] - base          # (B, P, R) in-window
+            vg = v[g * B:(g + 1) * B]
+            acc = jnp.zeros((B, P, R), v.dtype)
+            for b in range(K):
+                off = cg - b * 128
+                inb = (off >= 0) & (off < 128)
+                xb = x_refs[g * K + b][...]              # (1, 128)
+                gat = jnp.take_along_axis(
+                    jnp.broadcast_to(xb, (B * P, 128)),
+                    jnp.where(inb, off, 0).reshape(B * P, 128),
+                    axis=1).reshape(B, P, R)
+                acc = acc + jnp.where(inb, gat, jnp.zeros((), v.dtype)) * vg
+            out_ref[g * B:(g + 1) * B, :] = jnp.sum(acc, axis=1)
     return kernel
 
 
@@ -104,6 +109,7 @@ def _spmv_window(plan: SellPlan, x: Array, interpret: bool = False) -> Array:
     T, P, R = plan.vals.shape
     B = TILES_PER_STEP
     K = plan.stats.window_blocks
+    G = plan.stats.groups_per_step
     if K <= 0:
         raise ValueError(
             "window strategy infeasible for this plan "
@@ -115,25 +121,25 @@ def _spmv_window(plan: SellPlan, x: Array, interpret: bool = False) -> Array:
     xp = xp.at[0, :plan.shape[1]].set(jnp.asarray(x, plan.vals.dtype))
 
     x_specs = [
-        pl.BlockSpec((1, 128), lambda i, wb, b=b: (0, wb[i] + b))
-        for b in range(K)
+        pl.BlockSpec((1, 128), lambda i, wb, g=g, b=b: (0, wb[i * G + g] + b))
+        for g in range(G) for b in range(K)
     ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,                    # window_base
-        grid=(T // B,),
+        grid=(T // (B * G),),
         in_specs=[
-            pl.BlockSpec((B, P, R), lambda i, wb: (i, 0, 0)),
-            pl.BlockSpec((B, P, R), lambda i, wb: (i, 0, 0)),
+            pl.BlockSpec((B * G, P, R), lambda i, wb: (i, 0, 0)),
+            pl.BlockSpec((B * G, P, R), lambda i, wb: (i, 0, 0)),
             *x_specs,
         ],
-        out_specs=pl.BlockSpec((B, R), lambda i, wb: (i, 0)),
+        out_specs=pl.BlockSpec((B * G, R), lambda i, wb: (i, 0)),
     )
     partials = pl.pallas_call(
-        _make_window_kernel(K, P, R, B),
+        _make_window_kernel(K, G, P, R, B),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((T, R), plan.vals.dtype),
         interpret=interpret,
-    )(plan.window_base, plan.vals, plan.cols, *([xp] * K))
+    )(plan.window_base, plan.vals, plan.cols, *([xp] * (G * K)))
     return _reduce_partials(plan, partials)
 
 
@@ -148,7 +154,7 @@ def _stream_kernel(vals_ref, xg_ref, out_ref):
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _spmv_stream(plan: SellPlan, x: Array, interpret: bool = False) -> Array:
     T, P, R = plan.vals.shape
-    B = TILES_PER_STEP
+    B = TILES_PER_STEP * plan.stats.groups_per_step
     xg = jnp.take(jnp.asarray(x, plan.vals.dtype), plan.cols, axis=0)
     partials = pl.pallas_call(
         _stream_kernel,

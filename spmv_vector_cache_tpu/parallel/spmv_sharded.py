@@ -69,6 +69,7 @@ class ShardedPlan:
     halo: int
     window_blocks: int   # merged K (0 = window kernel infeasible somewhere)
     max_window_base: int
+    groups_per_step: int
 
     _array_fields = ("vals", "cols", "tile_slice", "window_base", "row_map")
 
@@ -76,20 +77,21 @@ class ShardedPlan:
         children = tuple(getattr(self, f) for f in self._array_fields)
         aux = (self.shape, self.num_shards, self.rows_per_shard,
                self.identity_map, self.halo, self.window_blocks,
-               self.max_window_base)
+               self.max_window_base, self.groups_per_step)
         return children, aux
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         (shape, num_shards, rows_per_shard, identity_map, halo,
-         window_blocks, max_window_base) = aux
+         window_blocks, max_window_base, groups_per_step) = aux
         vals, cols, tile_slice, window_base, row_map = children
         return cls(vals=vals, cols=cols, tile_slice=tile_slice,
                    window_base=window_base, row_map=row_map, shape=shape,
                    num_shards=num_shards, rows_per_shard=rows_per_shard,
                    identity_map=identity_map, halo=halo,
                    window_blocks=window_blocks,
-                   max_window_base=max_window_base)
+                   max_window_base=max_window_base,
+                   groups_per_step=groups_per_step)
 
     @property
     def num_slices(self) -> int:
@@ -125,7 +127,10 @@ def build_sharded_plan(a, num_shards: int, *, value_dtype=np.float32,
             sub, value_dtype=value_dtype, sigma=sigma, split=split,
             max_window_blocks=max_window_blocks))
 
-    T = max(p.num_tiles for p in plans)
+    wb_feasible_pre = all(p.stats.window_blocks > 0 for p in plans)
+    groups = min(p.stats.groups_per_step for p in plans) \
+        if wb_feasible_pre else 8
+    T = _round_up(max(p.num_tiles for p in plans), 8 * groups)
     S = max(p.num_slices for p in plans)
     D = num_shards
     Pp, R = plans[0].positions, plans[0].lane_rows
@@ -145,7 +150,7 @@ def build_sharded_plan(a, num_shards: int, *, value_dtype=np.float32,
 
     identity = all(p.identity_map for p in plans) and \
         all(p.num_slices == S for p in plans)
-    wb_feasible = all(p.stats.window_blocks > 0 for p in plans)
+    wb_feasible = wb_feasible_pre
     window_blocks = max(p.stats.window_blocks for p in plans) \
         if wb_feasible else 0
     max_window_base = max(p.stats.max_window_base for p in plans)
@@ -158,7 +163,8 @@ def build_sharded_plan(a, num_shards: int, *, value_dtype=np.float32,
                        shape=(rows, cols_n), num_shards=D,
                        rows_per_shard=rps, identity_map=identity,
                        halo=halo, window_blocks=window_blocks,
-                       max_window_base=max_window_base)
+                       max_window_base=max_window_base,
+                       groups_per_step=groups)
 
 
 # ---------------------------------------------------------------------------
@@ -173,7 +179,8 @@ def _local_plan(sp: ShardedPlan, vals, cols, tile_slice, window_base,
         nnz=0, num_tiles=T, num_slices=sp.num_slices,
         num_subrows=sp.rows_per_shard, num_splits=0, num_stripes=1,
         padded_slots=0, fill=0.0,
-        window_blocks=sp.window_blocks, max_window_base=max_wb)
+        window_blocks=sp.window_blocks, max_window_base=max_wb,
+        groups_per_step=sp.groups_per_step)
     return SellPlan(vals=vals, cols=cols, tile_slice=tile_slice,
                     window_base=window_base, row_map=row_map,
                     shape=(sp.rows_per_shard, x_len), lane_rows=R,
