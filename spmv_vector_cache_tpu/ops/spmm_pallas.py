@@ -1,0 +1,128 @@
+"""Pallas SpMM (sparse x dense, multi-RHS) over SELL tile plans.
+
+BASELINE.json config 3.  Extends the windowed SpMV kernel to k right-hand
+sides: the RHS matrix is transposed host-side to (k, cols) so a window
+block is a natural (8, 128) tile — 8 RHS columns on sublanes x 128 matrix
+columns on lanes — and one ``take_along_axis`` with a broadcast index row
+yields the gathered values for 8 RHS at once.  The matrix tiles stream
+once per 8-RHS chunk (vs once per RHS when looping SpMV), which is the
+point of a fused SpMM: the nonzero stream amortizes over the dense block.
+
+For block-structured matrices prefer the BSR path
+(:func:`..ops.reference.spmm`), which rides the MXU directly.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..formats.plan import TILES_PER_STEP, SellPlan
+from ..utils import platform
+
+Array = Any
+
+RHS_CHUNK = 8   # RHS columns per kernel pass (sublane granularity)
+
+
+def _make_spmm_kernel(K: int, G: int, P: int, R: int, B: int):
+    def kernel(wb_ref, vals_ref, cols_ref, *rest):
+        bt_refs, out_ref = rest[:G * K], rest[G * K]
+        i = pl.program_id(1)
+        v = vals_ref[...]                                 # (G*B, P, R)
+        cols = cols_ref[...]
+        for g in range(G):
+            base = wb_ref[i * G + g] * 128
+            cg = (cols[g * B:(g + 1) * B] - base).reshape(B * P, R)
+            vg = v[g * B:(g + 1) * B].reshape(B * P, R)
+            acc = jnp.zeros((RHS_CHUNK, B * P, R), v.dtype)
+            for b in range(K):
+                off = cg - b * 128
+                inb = (off >= 0) & (off < 128)
+                idx = jnp.where(inb, off, 0)
+                bt = bt_refs[g * K + b][0]                # (8, 128)
+                for c in range(RHS_CHUNK):
+                    src = jnp.broadcast_to(bt[c][None, :], (B * P, 128))
+                    gat = jnp.take_along_axis(src, idx, axis=1)
+                    acc = acc.at[c].add(
+                        jnp.where(inb, gat, jnp.zeros((), v.dtype)) * vg)
+            # (8, B*P, R) -> (B, 8, R): per-tile sublane sum + transpose
+            per_tile = jnp.sum(acc.reshape(RHS_CHUNK, B, P, R), axis=2)
+            out_ref[0, g * B:(g + 1) * B] = per_tile.transpose(1, 0, 2)
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _spmm_window(plan: SellPlan, bt: Array, interpret: bool = False) -> Array:
+    """bt: (k, cols) transposed RHS; returns y (rows, k)."""
+    T, P, R = plan.vals.shape
+    B = TILES_PER_STEP
+    K = plan.stats.window_blocks
+    G = plan.stats.groups_per_step
+    if K <= 0:
+        raise ValueError("window SpMM infeasible for this plan; use the "
+                         "reference spmm path")
+    k = bt.shape[0]
+    k8 = -(-k // RHS_CHUNK)
+    nblocks = max(-(-plan.shape[1] // 128), plan.stats.max_window_base + K)
+    btp = jnp.zeros((k8, RHS_CHUNK, nblocks * 128), plan.vals.dtype)
+    btp = btp.at[:, :, :plan.shape[1]].set(
+        jnp.asarray(bt, plan.vals.dtype).reshape(k8, RHS_CHUNK, -1)
+        if k % RHS_CHUNK == 0 else
+        jnp.pad(jnp.asarray(bt, plan.vals.dtype),
+                ((0, k8 * RHS_CHUNK - k), (0, 0))).reshape(
+                    k8, RHS_CHUNK, -1))
+
+    bt_specs = [
+        pl.BlockSpec((1, RHS_CHUNK, 128),
+                     lambda kc, i, wb, g=g, b=b: (kc, 0, wb[i * G + g] + b))
+        for g in range(G) for b in range(K)
+    ]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(k8, T // (B * G)),
+        in_specs=[
+            pl.BlockSpec((B * G, P, R), lambda kc, i, wb: (i, 0, 0)),
+            pl.BlockSpec((B * G, P, R), lambda kc, i, wb: (i, 0, 0)),
+            *bt_specs,
+        ],
+        out_specs=pl.BlockSpec((1, B * G, RHS_CHUNK, R),
+                               lambda kc, i, wb: (kc, i, 0, 0)),
+    )
+    partials = pl.pallas_call(
+        _make_spmm_kernel(K, G, P, R, B),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((k8, T, RHS_CHUNK, R),
+                                       plan.vals.dtype),
+        interpret=interpret,
+    )(plan.window_base, plan.vals, plan.cols, *([btp] * (G * K)))
+
+    # fold tiles -> slices, then sub-rows -> rows
+    y4 = jax.ops.segment_sum(partials.transpose(1, 0, 2, 3),
+                             jnp.asarray(plan.tile_slice),
+                             num_segments=plan.num_slices,
+                             indices_are_sorted=True)   # (S, k8, 8, R)
+    # (S, k8, 8, R) -> sub-row-major (S*R, k8*8)
+    flat = y4.transpose(0, 3, 1, 2).reshape(plan.num_slices * R,
+                                            k8 * RHS_CHUNK)
+    rows = plan.shape[0]
+    if plan.identity_map:
+        y = flat[:rows]
+    else:
+        y = jax.ops.segment_sum(flat, jnp.asarray(plan.row_map),
+                                num_segments=rows + 1)[:rows]
+    return y[:, :k]
+
+
+def spmm_plan(plan: SellPlan, b: Array, *,
+              interpret: Optional[bool] = None) -> Array:
+    """Fused SpMM ``Y = A @ B`` from a prebuilt plan (B: (cols, k))."""
+    if interpret is None:
+        interpret = platform.use_interpret()
+    bt = jnp.asarray(b).T
+    return _spmm_window(plan, bt, interpret=interpret)

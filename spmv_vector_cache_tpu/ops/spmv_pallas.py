@@ -78,6 +78,39 @@ def _reduce_partials(plan: SellPlan, partials: Array) -> Array:
 # window strategy
 # ---------------------------------------------------------------------------
 
+#: x copies up to this size stay fully VMEM-resident in the window kernel
+#: (the BufferAll regime); larger x falls back to per-group window streaming
+X_RESIDENT_BUDGET_BYTES = 8 << 20
+
+
+def _make_window_kernel_resident(K: int, G: int, P: int, R: int, B: int):
+    """Window kernel with x fully VMEM-resident: each group slices its
+    K x 128 window out of the resident copy at a 128-aligned dynamic
+    offset — no per-step x DMAs (probe-measured ~35% faster than
+    scalar-steered window fetches)."""
+    def kernel(wb_ref, vals_ref, cols_ref, x_ref, out_ref):
+        i = pl.program_id(0)
+        v = vals_ref[...]                                # (G*B, P, R)
+        cols = cols_ref[...]
+        for g in range(G):
+            base = wb_ref[i * G + g] * 128
+            cg = cols[g * B:(g + 1) * B] - base
+            vg = v[g * B:(g + 1) * B]
+            acc = jnp.zeros((B, P, R), v.dtype)
+            for b in range(K):
+                off = cg - b * 128
+                inb = (off >= 0) & (off < 128)
+                start = pl.multiple_of(base + b * 128, 128)
+                xb = x_ref[0:1, pl.ds(start, 128)]       # (1, 128)
+                gat = jnp.take_along_axis(
+                    jnp.broadcast_to(xb, (B * P, 128)),
+                    jnp.where(inb, off, 0).reshape(B * P, 128),
+                    axis=1).reshape(B, P, R)
+                acc = acc + jnp.where(inb, gat, jnp.zeros((), v.dtype)) * vg
+            out_ref[g * B:(g + 1) * B, :] = jnp.sum(acc, axis=1)
+    return kernel
+
+
 def _make_window_kernel(K: int, G: int, P: int, R: int, B: int):
     """Kernel over one grid step = G groups of B=8 tiles; group g gathers
     from its own K x 128 window (x_refs[g*K + b])."""
@@ -120,26 +153,44 @@ def _spmv_window(plan: SellPlan, x: Array, interpret: bool = False) -> Array:
     xp = jnp.zeros((1, nblocks * 128), plan.vals.dtype)
     xp = xp.at[0, :plan.shape[1]].set(jnp.asarray(x, plan.vals.dtype))
 
-    x_specs = [
-        pl.BlockSpec((1, 128), lambda i, wb, g=g, b=b: (0, wb[i * G + g] + b))
-        for g in range(G) for b in range(K)
-    ]
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,                    # window_base
-        grid=(T // (B * G),),
-        in_specs=[
-            pl.BlockSpec((B * G, P, R), lambda i, wb: (i, 0, 0)),
-            pl.BlockSpec((B * G, P, R), lambda i, wb: (i, 0, 0)),
-            *x_specs,
-        ],
-        out_specs=pl.BlockSpec((B * G, R), lambda i, wb: (i, 0)),
-    )
+    if xp.shape[1] * xp.dtype.itemsize <= X_RESIDENT_BUDGET_BYTES:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,                # window_base
+            grid=(T // (B * G),),
+            in_specs=[
+                pl.BlockSpec((B * G, P, R), lambda i, wb: (i, 0, 0)),
+                pl.BlockSpec((B * G, P, R), lambda i, wb: (i, 0, 0)),
+                pl.BlockSpec((1, xp.shape[1]), lambda i, wb: (0, 0)),
+            ],
+            out_specs=pl.BlockSpec((B * G, R), lambda i, wb: (i, 0)),
+        )
+        kernel = _make_window_kernel_resident(K, G, P, R, B)
+        operands = (plan.window_base, plan.vals, plan.cols, xp)
+    else:
+        x_specs = [
+            pl.BlockSpec((1, 128),
+                         lambda i, wb, g=g, b=b: (0, wb[i * G + g] + b))
+            for g in range(G) for b in range(K)
+        ]
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,                # window_base
+            grid=(T // (B * G),),
+            in_specs=[
+                pl.BlockSpec((B * G, P, R), lambda i, wb: (i, 0, 0)),
+                pl.BlockSpec((B * G, P, R), lambda i, wb: (i, 0, 0)),
+                *x_specs,
+            ],
+            out_specs=pl.BlockSpec((B * G, R), lambda i, wb: (i, 0)),
+        )
+        kernel = _make_window_kernel(K, G, P, R, B)
+        operands = (plan.window_base, plan.vals, plan.cols,
+                    *([xp] * (G * K)))
     partials = pl.pallas_call(
-        _make_window_kernel(K, G, P, R, B),
+        kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((T, R), plan.vals.dtype),
         interpret=interpret,
-    )(plan.window_base, plan.vals, plan.cols, *([xp] * (G * K)))
+    )(*operands)
     return _reduce_partials(plan, partials)
 
 
