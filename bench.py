@@ -28,6 +28,14 @@ def log(msg):
 
 
 def main():
+    if "--suite" in sys.argv:
+        import jax
+        jax.config.update("jax_compilation_cache_dir", "/tmp/spmv_tpu_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        from spmv_vector_cache_tpu.tools.suite import run_suite
+        results = run_suite()
+        print(json.dumps(results))
+        return
     import jax
     import jax.numpy as jnp
     import scipy.sparse as sp

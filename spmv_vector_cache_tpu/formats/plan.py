@@ -414,3 +414,60 @@ def auto_plan(a, *, value_dtype=np.float32, max_window_blocks: int = 16,
         return build_sell_plan(csr, sigma=sigma, split=split,
                                stripe_width=sw, **kw)
     return p
+
+
+def validate_plan(plan: SellPlan, a=None) -> None:
+    """Debug-mode invariant checks (host-side).
+
+    The reference prevents races by construction and *counts* hazard events
+    rather than hiding them (SURVEY.md §5: UniqueQueue/IssueWindow
+    interlocks, pending-write counters).  Our layout makes conflicts
+    impossible; this validator asserts exactly the invariants the kernels
+    rely on, so a corrupted or hand-built plan fails loudly instead of
+    producing silent wrong answers:
+
+    * tile_slice nondecreasing, within [0, num_slices);
+    * every column index within the matrix and, when the window kernel is
+      enabled, within its step's K-block window;
+    * row_map entries within [0, rows];
+    * every (subrow, position) slot used at most once (no duplicate
+      accumulation targets — the no-hazard guarantee);
+    * optional: nonzero multiset matches the source container ``a``.
+    """
+    T, P, R = plan.vals.shape
+    B = TILES_PER_STEP
+    ts = np.asarray(plan.tile_slice)
+    if ts.shape != (T,):
+        raise ValueError("tile_slice shape mismatch")
+    if (np.diff(ts) < 0).any():
+        raise ValueError("tile_slice must be nondecreasing")
+    if ts.min() < 0 or ts.max() >= plan.num_slices:
+        raise ValueError("tile_slice out of range")
+
+    cols = np.asarray(plan.cols)
+    vals = np.asarray(plan.vals)
+    live = vals != 0
+    if live.any():
+        live_cols = cols[live]
+        if live_cols.min() < 0 or live_cols.max() >= plan.shape[1]:
+            raise ValueError("column index out of matrix range")
+    K = plan.stats.window_blocks
+    if K > 0:
+        wb = np.asarray(plan.window_base).astype(np.int64)
+        step_of_tile = np.arange(T) // B
+        lo = wb[step_of_tile] * 128
+        ok = ~live | ((cols >= lo[:, None, None]) &
+                      (cols < (lo + K * 128)[:, None, None]))
+        if not ok.all():
+            raise ValueError("nonzero outside its step's x window")
+
+    rm = np.asarray(plan.row_map)
+    if rm.min() < 0 or rm.max() > plan.shape[0]:
+        raise ValueError("row_map out of range")
+
+    if a is not None:
+        csr = _as_csr(a)
+        want = np.sort(np.asarray(csr.data)[np.asarray(csr.data) != 0])
+        got = np.sort(vals[live])
+        if want.shape != got.shape or not np.allclose(want, got):
+            raise ValueError("plan nonzero multiset differs from source")

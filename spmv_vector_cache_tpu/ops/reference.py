@@ -158,7 +158,8 @@ def _spmv_bsr(a: BSR, x: Array, s: sr.Semiring, y: Optional[Array]) -> Array:
     gathered = jnp.take(xblk, jnp.asarray(a.indices), axis=0)  # (nb, bc)
     if s.name == "plus_times":
         contrib = jnp.einsum("nij,nj->ni", data, gathered,
-                             preferred_element_type=data.dtype)
+                             preferred_element_type=data.dtype,
+                             precision=jax.lax.Precision.HIGHEST)
     else:
         contrib = s.mul(data, gathered[:, None, :])
         contrib = jax.lax.reduce(contrib, jnp.asarray(s.zero, data.dtype),
@@ -178,7 +179,8 @@ def spmm(a, b: Array, semiring=sr.PLUS_TIMES) -> Array:
         bmat = jnp.asarray(b).reshape(a.shape[1] // bc, bc, -1)
         gathered = jnp.take(bmat, jnp.asarray(a.indices), axis=0)  # (nb, bc, k)
         contrib = jnp.einsum("nij,njk->nik", data, gathered,
-                             preferred_element_type=data.dtype)
+                             preferred_element_type=data.dtype,
+                             precision=jax.lax.Precision.HIGHEST)
         block_row = _expand_indptr(jnp.asarray(a.indptr), a.nblocks)
         out = jax.ops.segment_sum(contrib, block_row, a.shape[0] // br)
         return out.reshape(a.shape[0], -1)

@@ -40,7 +40,8 @@ def _make_spmm_kernel(K: int, G: int, P: int, R: int, B: int):
             base = wb_ref[i * G + g] * 128
             cg = (cols[g * B:(g + 1) * B] - base).reshape(B * P, R)
             vg = v[g * B:(g + 1) * B].reshape(B * P, R)
-            acc = jnp.zeros((RHS_CHUNK, B * P, R), v.dtype)
+            accs = [jnp.zeros((B * P, R), v.dtype)
+                    for _ in range(RHS_CHUNK)]
             for b in range(K):
                 off = cg - b * 128
                 inb = (off >= 0) & (off < 128)
@@ -49,9 +50,10 @@ def _make_spmm_kernel(K: int, G: int, P: int, R: int, B: int):
                 for c in range(RHS_CHUNK):
                     src = jnp.broadcast_to(bt[c][None, :], (B * P, 128))
                     gat = jnp.take_along_axis(src, idx, axis=1)
-                    acc = acc.at[c].add(
-                        jnp.where(inb, gat, jnp.zeros((), v.dtype)) * vg)
+                    accs[c] = accs[c] + \
+                        jnp.where(inb, gat, jnp.zeros((), v.dtype)) * vg
             # (8, B*P, R) -> (B, 8, R): per-tile sublane sum + transpose
+            acc = jnp.stack(accs)                         # (8, B*P, R)
             per_tile = jnp.sum(acc.reshape(RHS_CHUNK, B, P, R), axis=2)
             out_ref[0, g * B:(g + 1) * B] = per_tile.transpose(1, 0, 2)
     return kernel

@@ -153,7 +153,10 @@ def _spmv_window(plan: SellPlan, x: Array, interpret: bool = False) -> Array:
     xp = jnp.zeros((1, nblocks * 128), plan.vals.dtype)
     xp = xp.at[0, :plan.shape[1]].set(jnp.asarray(x, plan.vals.dtype))
 
-    if xp.shape[1] * xp.dtype.itemsize <= X_RESIDENT_BUDGET_BYTES:
+    import os
+    budget = int(os.environ.get("SPMV_TPU_X_RESIDENT_BYTES",
+                                X_RESIDENT_BUDGET_BYTES))
+    if xp.shape[1] * xp.dtype.itemsize <= budget:
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,                # window_base
             grid=(T // (B * G),),

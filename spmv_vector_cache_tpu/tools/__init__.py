@@ -1,0 +1,1 @@
+from . import benchapp, matrixtools, scaling, suite, vecdiff  # noqa: F401

@@ -1,0 +1,174 @@
+"""Benchmark suite over the BASELINE.json configurations.
+
+Workloads (BASELINE.json configs 1-4, single chip):
+
+1. ``spmv_banded``    — banded CSR SpMV, window kernel (headline)
+2. ``spmv_powerlaw``  — skewed row lengths: split + sigma + striping paths
+3. ``spmm_bsr``       — BSR SpMM on the MXU (multi-RHS dense blocks)
+4. ``spmm_fused``     — fused windowed SpMM Pallas kernel
+5. ``spgemm_numeric`` — SpGEMM numeric phase on a fixed pattern
+6. ``trisolve``       — blocked sparse triangular solve
+
+Every entry gates on correctness before timing; results print as CSV and
+return as dicts.  Timing is chained-in-jit with D2H sync (see
+``utils/roofline``).
+"""
+
+from __future__ import annotations
+
+import sys
+from typing import Any, Dict, List
+
+import numpy as np
+
+
+def _chain_time(step_fn, state0, iters: int) -> float:
+    import jax
+
+    from ..utils import roofline
+
+    @jax.jit
+    def chain(s0):
+        out = jax.lax.fori_loop(0, iters, lambda i, s: step_fn(s), s0)
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        return leaf.reshape(-1)[:1]
+
+    return roofline.time_chained(lambda: chain(state0), iters=iters)
+
+
+def run_suite(iters: int = 20, log=sys.stderr) -> List[Dict[str, Any]]:
+    import jax.numpy as jnp
+    import scipy.sparse as sp
+
+    from ..formats.convert import csr_to_bsr, from_scipy
+    from ..formats.plan import auto_plan
+    from ..ops import reference, spgemm, sptrsv
+    from ..ops.spmm_pallas import spmm_plan
+    from ..ops.spmv_pallas import spmv_plan
+    from ..utils.platform import is_tpu
+
+    interp = not is_tpu()
+    rng = np.random.default_rng(0)
+    results: List[Dict[str, Any]] = []
+
+    def record(name, ok, seconds, work, unit):
+        row = {"config": name, "ok": bool(ok), "seconds": seconds,
+               "rate": work / seconds / 1e9 if seconds else 0.0,
+               "unit": unit}
+        results.append(row)
+        print(f"{name}: ok={ok} {row['rate']:.2f} G{unit}/s "
+              f"({seconds*1e3:.3f} ms)", file=log, flush=True)
+
+    # --- 1. banded SpMV ---------------------------------------------------
+    n = 1 << 19
+    nd = 27
+    m = sp.spdiags(rng.standard_normal((nd, n)).astype(np.float32),
+                   list(range(-(nd // 2), nd // 2 + 1)), n, n).tocsr()
+    m.sort_indices()
+    a = from_scipy(m.astype(np.float32))
+    plan = auto_plan(a).to_device()
+    x0 = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+    y = np.asarray(spmv_plan(plan, x0, interpret=interp))
+    ok = np.allclose(y, m.astype(np.float64) @ np.asarray(x0),
+                     rtol=1e-4, atol=1e-4)
+    dt = _chain_time(
+        lambda v: spmv_plan(plan, v, interpret=interp) /
+        jnp.asarray(np.float32(nd)), x0, iters)
+    record("spmv_banded", ok, dt, plan.stats.nnz, "nnz")
+
+    # --- 2. power-law SpMV ------------------------------------------------
+    n2 = 1 << 17
+    lens = np.minimum((rng.pareto(1.2, n2) * 8).astype(np.int64) + 1, 8192)
+    rows2 = np.repeat(np.arange(n2), lens)
+    cols2 = np.minimum(
+        (np.abs(rng.standard_normal(rows2.shape[0])) * 2048).astype(np.int64)
+        + rows2 - 1024, n2 - 1)
+    cols2 = np.maximum(cols2, 0).astype(np.int32)
+    from ..formats.containers import COO
+    from ..formats.convert import coo_to_csr
+    a2 = coo_to_csr(COO(data=rng.standard_normal(rows2.shape[0])
+                        .astype(np.float32),
+                        row=rows2.astype(np.int32), col=cols2,
+                        shape=(n2, n2)))
+    plan2 = auto_plan(a2).to_device()
+    x2 = jnp.asarray(rng.standard_normal(n2).astype(np.float32))
+    y2 = np.asarray(spmv_plan(plan2, x2, interpret=interp))
+    want2 = reference.spmv_numpy(a2, np.asarray(x2, np.float64))
+    ok2 = np.allclose(y2, want2, rtol=1e-3, atol=1e-3)
+    dt2 = _chain_time(
+        lambda v: spmv_plan(plan2, v, interpret=interp) * np.float32(0.125),
+        x2, iters)
+    record("spmv_powerlaw", ok2, dt2, plan2.stats.nnz, "nnz")
+
+    # --- 3. BSR SpMM on MXU ----------------------------------------------
+    nb = 1 << 15
+    bandb = 9
+    mb = sp.spdiags(rng.standard_normal((bandb, nb)).astype(np.float32),
+                    list(range(-(bandb // 2), bandb // 2 + 1)),
+                    nb, nb).tocsr()
+    mb.sort_indices()
+    ab = csr_to_bsr(from_scipy(mb.astype(np.float32)), (8, 8))
+    ab = ab.to_device()
+    k = 64
+    b0 = jnp.asarray(rng.standard_normal((nb, k)).astype(np.float32))
+    yb = np.asarray(reference.spmm(ab, b0))
+    okb = np.allclose(yb, mb.astype(np.float64) @ np.asarray(b0),
+                      rtol=1e-3, atol=1e-3)
+    flops = 2 * ab.nnz * k
+    dtb = _chain_time(
+        lambda B: reference.spmm(ab, B) * np.float32(0.1), b0, iters)
+    record("spmm_bsr", okb, dtb, flops, "FLOP")
+
+    # --- 4. fused windowed SpMM ------------------------------------------
+    k4 = 16
+    b4 = jnp.asarray(rng.standard_normal((n, k4)).astype(np.float32))
+    y4 = np.asarray(spmm_plan(plan, b4, interpret=interp))
+    ok4 = np.allclose(y4, m.astype(np.float64) @ np.asarray(b4),
+                      rtol=1e-3, atol=1e-3)
+    dt4 = _chain_time(
+        lambda B: spmm_plan(plan, B, interpret=interp) * np.float32(0.19),
+        b4, max(iters // 4, 3))
+    record("spmm_fused", ok4, dt4, plan.stats.nnz * k4, "nnzRHS")
+
+    # --- 5. SpGEMM numeric phase -----------------------------------------
+    n5 = 1 << 14
+    m5 = sp.random(n5, n5, density=16 / n5, format="csr",
+                   random_state=np.random.RandomState(0),
+                   dtype=np.float64).astype(np.float32)
+    m5.sort_indices()
+    a5 = from_scipy(m5)
+    gplan = spgemm.spgemm_symbolic(a5, a5)
+    import jax
+    gplan_d = jax.tree.map(jnp.asarray, gplan)
+    ad = jnp.asarray(np.asarray(a5.data))
+    c_data = np.asarray(spgemm.spgemm_numeric(gplan_d, ad, ad))
+    want5 = (m5.astype(np.float64) @ m5.astype(np.float64)).tocsr()
+    want5.sort_indices()
+    ok5 = np.allclose(np.sort(c_data), np.sort(want5.data.astype(np.float32)),
+                      rtol=1e-2, atol=1e-2)
+    nflops5 = int(np.asarray(gplan.a_src).shape[0])
+    dt5 = _chain_time(
+        lambda d: spgemm.spgemm_numeric(gplan_d, d, ad) * np.float32(0.5),
+        ad, max(iters // 2, 3))
+    record("spgemm_numeric", ok5, dt5, 2 * nflops5, "FLOP")
+
+    # --- 6. blocked triangular solve -------------------------------------
+    n6 = 1 << 15
+    l6 = sp.spdiags(rng.standard_normal((5, n6)).astype(np.float32),
+                    [-4, -3, -2, -1, 0], n6, n6).tocsr()
+    l6 = (l6 + sp.eye(n6) * 8).tocsr()
+    l6 = sp.tril(l6).tocsr()
+    l6.sort_indices()
+    a6 = from_scipy(l6.astype(np.float32))
+    tplan = sptrsv.build_trisolve_plan(a6, lower=True)
+    tplan = jax.tree.map(jnp.asarray, tplan)
+    b6 = jnp.asarray(rng.standard_normal(n6).astype(np.float32))
+    x6 = np.asarray(sptrsv.trisolve(tplan, b6))
+    r6 = np.asarray(b6) - l6.astype(np.float64) @ x6
+    ok6 = np.linalg.norm(r6) < 1e-2 * np.linalg.norm(np.asarray(b6))
+    dt6 = _chain_time(
+        lambda v: sptrsv.trisolve(tplan, v) * np.float32(0.2), b6,
+        max(iters // 4, 3))
+    record("trisolve", ok6, dt6, 2 * a6.nnz, "FLOP")
+
+    return results

@@ -174,3 +174,29 @@ def test_autotune_runs(rng):
     x = np.ones(256, np.float32)
     res = strategy.autotune(p, x, iters=1)
     assert "stream" in res and "window" in res
+
+
+# ---------------------------------------------------------------------------
+# plan validation (debug assertions — SURVEY §5 race-detection analog)
+# ---------------------------------------------------------------------------
+
+def test_validate_plan_accepts_all_variants(rng):
+    a = random_csr(rng, 300, 400, density=0.04)
+    for kwargs in ({}, {"split": 8, "sigma": 512},
+                   {"stripe_width": 256, "max_window_blocks": 2}):
+        p = planmod.build_sell_plan(a, **kwargs)
+        planmod.validate_plan(p, a)
+
+
+def test_validate_plan_rejects_corruption(rng):
+    import dataclasses
+    a = random_csr(rng, 200, 200, density=0.05)
+    p = planmod.build_sell_plan(a)
+    bad = dataclasses.replace(
+        p, cols=np.asarray(p.cols).copy() + 10**6)
+    with pytest.raises(ValueError, match="column index|window"):
+        planmod.validate_plan(bad)
+    bad2 = dataclasses.replace(
+        p, tile_slice=np.asarray(p.tile_slice)[::-1].copy())
+    with pytest.raises(ValueError, match="nondecreasing"):
+        planmod.validate_plan(bad2)
