@@ -68,6 +68,8 @@ class PlanStats:
     window_blocks: int      # K required by the windowed kernel (0 = infeasible)
     max_window_base: int    # max of window_base (static x padding bound)
     groups_per_step: int    # 8-tile window groups fused per kernel grid step
+    uniform_tiles_per_slice: int = 0  # u if every slice spans exactly u
+    # tiles and u | 8 (enables the in-kernel slice reduction); 0 otherwise
 
     def as_dict(self):
         return dataclasses.asdict(self)
@@ -90,6 +92,7 @@ class SellPlan:
 
     vals: Array          # (T, P, R) value dtype
     cols: Array          # (T, P, R) int32 global column ids
+    cols_win: Array      # (T, P, R) int16 in-window offsets (empty if K == 0)
     tile_slice: Array    # (T,) int32, nondecreasing
     window_base: Array   # (T/8,) int32 — x window base per kernel step
     row_map: Array       # (num_slices * R,) int32 → original row, `rows` = pad
@@ -99,7 +102,8 @@ class SellPlan:
     identity_map: bool
     stats: PlanStats
 
-    _array_fields = ("vals", "cols", "tile_slice", "window_base", "row_map")
+    _array_fields = ("vals", "cols", "cols_win", "tile_slice", "window_base",
+                     "row_map")
 
     def tree_flatten(self):
         children = tuple(getattr(self, f) for f in self._array_fields)
@@ -110,8 +114,9 @@ class SellPlan:
     @classmethod
     def tree_unflatten(cls, aux, children):
         shape, lane_rows, positions, identity_map, stats = aux
-        vals, cols, tile_slice, window_base, row_map = children
-        return cls(vals=vals, cols=cols, tile_slice=tile_slice,
+        vals, cols, cols_win, tile_slice, window_base, row_map = children
+        return cls(vals=vals, cols=cols, cols_win=cols_win,
+                   tile_slice=tile_slice,
                    window_base=window_base, row_map=row_map, shape=shape,
                    lane_rows=lane_rows, positions=positions,
                    identity_map=identity_map, stats=stats)
@@ -144,11 +149,35 @@ def _cdiv(a, b):
     return -(-a // b)
 
 
+def compute_cols_win(vals: np.ndarray, cols: np.ndarray,
+                     window_base: np.ndarray, window_blocks: int
+                     ) -> np.ndarray:
+    """In-window column offsets, the windowed kernel's streamed index form.
+
+    Live slots (val != 0) become ``col - window_base[step]*128`` — by
+    construction in ``[0, window_blocks*128)``, so they fit int16 and the
+    kernel streams half the index bytes of the global int32 ``cols`` (the
+    cols channel is one of the two hot DMA streams, cf. the reference's
+    per-channel burst sizing, ``spmv-common.scala:26-29``).  Padding slots
+    are forced to offset 0 (their value is 0, so the gathered lane never
+    contributes).  Returns an empty (0, P, R) array when the windowed
+    kernel is infeasible (``window_blocks == 0``).
+    """
+    T, P, R = cols.shape
+    if not window_blocks or not T:
+        return np.zeros((0, P, R), np.int16)
+    wb_tile = np.repeat(np.asarray(window_base, np.int64), TILES_PER_STEP)
+    off = cols.astype(np.int64) - (wb_tile * 128)[:, None, None]
+    off = np.where(vals != 0, off, 0)
+    return off.astype(np.int16)
+
+
 def build_sell_plan(a, *, lane_rows: int = 128, positions: int = 8,
                     sigma: Optional[int] = None,
                     split: Optional[int] = None,
                     stripe_width: Optional[int] = None,
                     max_window_blocks: int = 16,
+                    groups_per_step: Optional[int] = None,
                     value_dtype=np.float32) -> SellPlan:
     """Build a SELL tile plan from any container (host-side, numpy).
 
@@ -158,6 +187,10 @@ def build_sell_plan(a, *, lane_rows: int = 128, positions: int = 8,
     windowed kernel applies to locality-poor matrices (None = off).
     ``max_window_blocks``: cap on K; if a layout needs more, the plan is
     marked window-infeasible (``stats.window_blocks == 0``).
+    ``groups_per_step``: override the kernel grid-step width (in 8-tile
+    window groups) — the per-step DMA burst size knob, the analog of the
+    reference's per-channel burst-beat configuration
+    (``spmv-common.scala:26-29``); None = heuristic.
     """
     csr = _as_csr(a)
     rows, cols_n = csr.shape
@@ -332,12 +365,15 @@ def build_sell_plan(a, *, lane_rows: int = 128, positions: int = 8,
         window_blocks = 0                  # windowed kernel infeasible
     max_window_base = int(wb.max()) if T else 0
 
-    # fuse G groups of 8 tiles per kernel grid step: amortizes per-step
-    # pipeline overhead while each group keeps its own small window
-    # (probe-tuned: ~64 tiles/step is the throughput knee; cap G*K so the
-    # kernel's x-operand count stays moderate)
-    groups = max(1, min(8, 64 // max(window_blocks, 1))) \
-        if window_blocks else 8
+    # fuse G groups of 8 tiles per kernel grid step: amortizes the fixed
+    # per-step pipeline cost (probe-measured ~1us/step — the dominant
+    # limiter at small steps) against the double-buffered VMEM budget;
+    # ~512 tiles/step ≈ 2.5 MB vals+cols per step keeps the fixed cost
+    # under ~10% while leaving room for the resident x copy
+    if groups_per_step is not None:
+        groups = max(1, groups_per_step)
+    else:
+        groups = 64 if window_blocks else 8
     step = B * groups
     if T % step:
         pad = step - T % step
@@ -365,7 +401,10 @@ def build_sell_plan(a, *, lane_rows: int = 128, positions: int = 8,
         window_blocks=window_blocks, max_window_base=max_window_base,
         groups_per_step=groups)
 
-    return SellPlan(vals=vals, cols=cols, tile_slice=tile_slice,
+    cols_win = compute_cols_win(vals, cols, wb, window_blocks)
+
+    return SellPlan(vals=vals, cols=cols, cols_win=cols_win,
+                    tile_slice=tile_slice,
                     window_base=wb.astype(np.int32), row_map=row_map,
                     shape=(rows, cols_n), lane_rows=R, positions=P,
                     identity_map=identity_map, stats=stats)
@@ -460,6 +499,13 @@ def validate_plan(plan: SellPlan, a=None) -> None:
                       (cols < (lo + K * 128)[:, None, None]))
         if not ok.all():
             raise ValueError("nonzero outside its step's x window")
+        cw = np.asarray(plan.cols_win).astype(np.int64)
+        if cw.shape != (T, P, R):
+            raise ValueError("cols_win shape mismatch")
+        if cw.min() < 0 or cw.max() >= K * 128:
+            raise ValueError("cols_win offset outside window")
+        if not np.array_equal(cw[live], (cols - lo[:, None, None])[live]):
+            raise ValueError("cols_win inconsistent with cols/window_base")
 
     rm = np.asarray(plan.row_map)
     if rm.min() < 0 or rm.max() > plan.shape[0]:

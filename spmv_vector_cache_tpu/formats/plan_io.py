@@ -15,9 +15,9 @@ import json
 
 import numpy as np
 
-from .plan import PlanStats, SellPlan
+from .plan import PlanStats, SellPlan, compute_cols_win
 
-_FORMAT_VERSION = 1
+_FORMAT_VERSION = 2
 
 
 def config_suffix(plan: SellPlan) -> str:
@@ -56,10 +56,15 @@ def save_plan(plan: SellPlan, path: str) -> str:
 def load_plan(path: str) -> SellPlan:
     with np.load(path) as z:
         meta = json.loads(bytes(z["meta"].tobytes()).decode())
-        if meta["version"] != _FORMAT_VERSION:
+        if meta["version"] not in (1, _FORMAT_VERSION):
             raise ValueError(f"unsupported plan version {meta['version']}")
-        arrays = {name: z[name] for name in SellPlan._array_fields}
+        arrays = {name: z[name] for name in SellPlan._array_fields
+                  if name in z}
     stats = PlanStats(**meta["stats"])
+    if "cols_win" not in arrays:        # version-1 plans predate cols_win
+        arrays["cols_win"] = compute_cols_win(
+            arrays["vals"], arrays["cols"], arrays["window_base"],
+            stats.window_blocks)
     return SellPlan(shape=tuple(meta["shape"]), lane_rows=meta["lane_rows"],
                     positions=meta["positions"],
                     identity_map=meta["identity_map"], stats=stats,

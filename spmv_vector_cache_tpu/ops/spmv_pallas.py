@@ -83,6 +83,31 @@ def _reduce_partials(plan: SellPlan, partials: Array) -> Array:
 X_RESIDENT_BUDGET_BYTES = 8 << 20
 
 
+def _group_accumulate(K: int, B: int, P: int, R: int, vg, cw, get_xb):
+    """Multiply-gather one group: vals (B,P,R) x in-window offsets (B,P,R)
+    against a K*128-wide x window served block-wise by ``get_xb(b)``
+    ((1, 128) block b of the window).
+
+    ``cw`` offsets are plan-precomputed (``compute_cols_win``) and already
+    in [0, K*128), so the per-pass steering is two cheap integer ops —
+    ``bucket = off >> 7`` picks the 128-lane block, ``off & 127`` the lane
+    — instead of the subtract/compare/clamp chain the global-cols kernel
+    needed.  Padding slots carry (val 0, offset 0): they gather a real lane
+    but contribute val*x = 0."""
+    bucket = jax.lax.shift_right_logical(cw, 7)          # (B, P, R)
+    idx = jnp.bitwise_and(cw, 127).reshape(B * P, R)
+    acc = jnp.zeros((B, P, R), vg.dtype)
+    for b in range(K):
+        xb = get_xb(b)                                   # (1, 128)
+        gat = jnp.take_along_axis(
+            jnp.broadcast_to(xb, (B * P, 128)), idx,
+            axis=1).reshape(B, P, R)
+        vb = vg if K == 1 else jnp.where(bucket == b, vg,
+                                         jnp.zeros((), vg.dtype))
+        acc = acc + gat * vb
+    return jnp.sum(acc, axis=1)                          # (B, R)
+
+
 def _make_window_kernel_resident(K: int, G: int, P: int, R: int, B: int):
     """Window kernel with x fully VMEM-resident: each group slices its
     K x 128 window out of the resident copy at a 128-aligned dynamic
@@ -91,23 +116,16 @@ def _make_window_kernel_resident(K: int, G: int, P: int, R: int, B: int):
     def kernel(wb_ref, vals_ref, cols_ref, x_ref, out_ref):
         i = pl.program_id(0)
         v = vals_ref[...]                                # (G*B, P, R)
-        cols = cols_ref[...]
+        cw = cols_ref[...].astype(jnp.int32)             # int16 -> int32
         for g in range(G):
             base = wb_ref[i * G + g] * 128
-            cg = cols[g * B:(g + 1) * B] - base
-            vg = v[g * B:(g + 1) * B]
-            acc = jnp.zeros((B, P, R), v.dtype)
-            for b in range(K):
-                off = cg - b * 128
-                inb = (off >= 0) & (off < 128)
+
+            def get_xb(b, base=base):
                 start = pl.multiple_of(base + b * 128, 128)
-                xb = x_ref[0:1, pl.ds(start, 128)]       # (1, 128)
-                gat = jnp.take_along_axis(
-                    jnp.broadcast_to(xb, (B * P, 128)),
-                    jnp.where(inb, off, 0).reshape(B * P, 128),
-                    axis=1).reshape(B, P, R)
-                acc = acc + jnp.where(inb, gat, jnp.zeros((), v.dtype)) * vg
-            out_ref[g * B:(g + 1) * B, :] = jnp.sum(acc, axis=1)
+                return x_ref[0:1, pl.ds(start, 128)]
+            out_ref[g * B:(g + 1) * B, :] = _group_accumulate(
+                K, B, P, R, v[g * B:(g + 1) * B],
+                cw[g * B:(g + 1) * B], get_xb)
     return kernel
 
 
@@ -116,24 +134,13 @@ def _make_window_kernel(K: int, G: int, P: int, R: int, B: int):
     from its own K x 128 window (x_refs[g*K + b])."""
     def kernel(wb_ref, vals_ref, cols_ref, *rest):
         x_refs, out_ref = rest[:G * K], rest[G * K]
-        i = pl.program_id(0)
         v = vals_ref[...]                                # (G*B, P, R)
-        cols = cols_ref[...]
+        cw = cols_ref[...].astype(jnp.int32)             # int16 -> int32
         for g in range(G):
-            base = wb_ref[i * G + g] * 128
-            cg = cols[g * B:(g + 1) * B] - base          # (B, P, R) in-window
-            vg = v[g * B:(g + 1) * B]
-            acc = jnp.zeros((B, P, R), v.dtype)
-            for b in range(K):
-                off = cg - b * 128
-                inb = (off >= 0) & (off < 128)
-                xb = x_refs[g * K + b][...]              # (1, 128)
-                gat = jnp.take_along_axis(
-                    jnp.broadcast_to(xb, (B * P, 128)),
-                    jnp.where(inb, off, 0).reshape(B * P, 128),
-                    axis=1).reshape(B, P, R)
-                acc = acc + jnp.where(inb, gat, jnp.zeros((), v.dtype)) * vg
-            out_ref[g * B:(g + 1) * B, :] = jnp.sum(acc, axis=1)
+            out_ref[g * B:(g + 1) * B, :] = _group_accumulate(
+                K, B, P, R, v[g * B:(g + 1) * B],
+                cw[g * B:(g + 1) * B],
+                lambda b, g=g: x_refs[g * K + b][...])
     return kernel
 
 
@@ -168,7 +175,7 @@ def _spmv_window(plan: SellPlan, x: Array, interpret: bool = False) -> Array:
             out_specs=pl.BlockSpec((B * G, R), lambda i, wb: (i, 0)),
         )
         kernel = _make_window_kernel_resident(K, G, P, R, B)
-        operands = (plan.window_base, plan.vals, plan.cols, xp)
+        operands = (plan.window_base, plan.vals, plan.cols_win, xp)
     else:
         x_specs = [
             pl.BlockSpec((1, 128),
@@ -186,7 +193,7 @@ def _spmv_window(plan: SellPlan, x: Array, interpret: bool = False) -> Array:
             out_specs=pl.BlockSpec((B * G, R), lambda i, wb: (i, 0)),
         )
         kernel = _make_window_kernel(K, G, P, R, B)
-        operands = (plan.window_base, plan.vals, plan.cols,
+        operands = (plan.window_base, plan.vals, plan.cols_win,
                     *([xp] * (G * K)))
     partials = pl.pallas_call(
         kernel,

@@ -38,7 +38,8 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..formats import analysis
 from ..formats.containers import CSR
-from ..formats.plan import PlanStats, SellPlan, _as_csr, build_sell_plan
+from ..formats.plan import (PlanStats, SellPlan, _as_csr, build_sell_plan,
+                            compute_cols_win)
 from ..utils import platform
 
 Array = Any
@@ -59,6 +60,7 @@ class ShardedPlan:
 
     vals: Array          # (D, T, P, R)
     cols: Array          # (D, T, P, R) — GLOBAL column indices
+    cols_win: Array      # (D, T, P, R) int16 in-window offsets (empty K == 0)
     tile_slice: Array    # (D, T)
     window_base: Array   # (D, T/8) — global x window base per step
     row_map: Array       # (D, num_slices*R) — LOCAL row ids (rps = padding)
@@ -71,7 +73,8 @@ class ShardedPlan:
     max_window_base: int
     groups_per_step: int
 
-    _array_fields = ("vals", "cols", "tile_slice", "window_base", "row_map")
+    _array_fields = ("vals", "cols", "cols_win", "tile_slice", "window_base",
+                     "row_map")
 
     def tree_flatten(self):
         children = tuple(getattr(self, f) for f in self._array_fields)
@@ -84,8 +87,9 @@ class ShardedPlan:
     def tree_unflatten(cls, aux, children):
         (shape, num_shards, rows_per_shard, identity_map, halo,
          window_blocks, max_window_base, groups_per_step) = aux
-        vals, cols, tile_slice, window_base, row_map = children
-        return cls(vals=vals, cols=cols, tile_slice=tile_slice,
+        vals, cols, cols_win, tile_slice, window_base, row_map = children
+        return cls(vals=vals, cols=cols, cols_win=cols_win,
+                   tile_slice=tile_slice,
                    window_base=window_base, row_map=row_map, shape=shape,
                    num_shards=num_shards, rows_per_shard=rows_per_shard,
                    identity_map=identity_map, halo=halo,
@@ -155,10 +159,21 @@ def build_sharded_plan(a, num_shards: int, *, value_dtype=np.float32,
         if wb_feasible else 0
     max_window_base = max(p.stats.max_window_base for p in plans)
 
+    # in-window offsets are invariant to the halo shift (cols and
+    # window_base shift by the same multiple of 128), so one stacked
+    # int16 array serves both exchange modes
+    if window_blocks:
+        cols_win = np.stack([
+            compute_cols_win(vals[d], cols[d], window_base[d], window_blocks)
+            for d in range(D)])
+    else:
+        cols_win = np.zeros((D, 0, Pp, R), np.int16)
+
     bw = analysis.bandwidth(csr)
     halo = _round_up(int(bw), 128) if 0 < bw <= rps else 0
 
-    return ShardedPlan(vals=vals, cols=cols, tile_slice=tile_slice,
+    return ShardedPlan(vals=vals, cols=cols, cols_win=cols_win,
+                       tile_slice=tile_slice,
                        window_base=window_base, row_map=row_map,
                        shape=(rows, cols_n), num_shards=D,
                        rows_per_shard=rps, identity_map=identity,
@@ -171,8 +186,8 @@ def build_sharded_plan(a, num_shards: int, *, value_dtype=np.float32,
 # local (per-shard) executors
 # ---------------------------------------------------------------------------
 
-def _local_plan(sp: ShardedPlan, vals, cols, tile_slice, window_base,
-                row_map, x_len: int, max_wb: int) -> SellPlan:
+def _local_plan(sp: ShardedPlan, vals, cols, cols_win, tile_slice,
+                window_base, row_map, x_len: int, max_wb: int) -> SellPlan:
     """Reassemble a single-shard SellPlan from shard-local arrays."""
     T, P, R = vals.shape
     stats = PlanStats(
@@ -181,7 +196,8 @@ def _local_plan(sp: ShardedPlan, vals, cols, tile_slice, window_base,
         padded_slots=0, fill=0.0,
         window_blocks=sp.window_blocks, max_window_base=max_wb,
         groups_per_step=sp.groups_per_step)
-    return SellPlan(vals=vals, cols=cols, tile_slice=tile_slice,
+    return SellPlan(vals=vals, cols=cols, cols_win=cols_win,
+                    tile_slice=tile_slice,
                     window_base=window_base, row_map=row_map,
                     shape=(sp.rows_per_shard, x_len), lane_rows=R,
                     positions=P, identity_map=sp.identity_map, stats=stats)
@@ -245,8 +261,9 @@ def spmv_sharded(sp: ShardedPlan, x: Array, mesh: Mesh, *,
         # all-zero padding tiles); pad x generously so wb+K always fits
         max_wb = x_len // 128
 
-    def local_fn(vals, cols, tile_slice, window_base, row_map, x_shard):
-        vals, cols = vals[0], cols[0]
+    def local_fn(vals, cols, cols_win, tile_slice, window_base, row_map,
+                 x_shard):
+        vals, cols, cols_win = vals[0], cols[0], cols_win[0]
         tile_slice, row_map = tile_slice[0], row_map[0]
         window_base = window_base[0]
         x_shard = x_shard.reshape(-1)                     # (rps,)
@@ -265,8 +282,8 @@ def spmv_sharded(sp: ShardedPlan, x: Array, mesh: Mesh, *,
             cols_local = jnp.clip(cols - shift, 0, x_full.shape[0] - 1)
             wb_local = jnp.clip(window_base - shift // 128, 0, max_wb)
         if use_pallas:
-            lp = _local_plan(sp, vals, cols_local, tile_slice, wb_local,
-                             row_map, x_len, max_wb)
+            lp = _local_plan(sp, vals, cols_local, cols_win, tile_slice,
+                             wb_local, row_map, x_len, max_wb)
             y_local = run_plan(lp, x_full, strategy="window",
                                interpret=interpret)
         else:
@@ -277,10 +294,11 @@ def spmv_sharded(sp: ShardedPlan, x: Array, mesh: Mesh, *,
 
     fn = jax.shard_map(
         local_fn, mesh=mesh,
-        in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis), P(axis)),
+        in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis), P(axis),
+                  P(axis)),
         out_specs=P(axis), check_vma=False)  # pallas_call lacks vma metadata
-    y = fn(sp.vals, sp.cols, sp.tile_slice, sp.window_base, sp.row_map,
-           xp.reshape(D, rps))
+    y = fn(sp.vals, sp.cols, sp.cols_win, sp.tile_slice, sp.window_base,
+           sp.row_map, xp.reshape(D, rps))
     return y.reshape(-1)[:rows]
 
 
