@@ -1,20 +1,29 @@
 #!/usr/bin/env python3
-"""Headline benchmark: CSR SpMV throughput on TPU via the window kernel.
+"""Headline benchmark: CSR SpMV throughput on TPU.
 
 Prints ONE JSON line:
   {"metric": "spmv_csr_gnnz_per_s", "value": N, "unit": "Gnnz/s",
    "vs_baseline": N}
 
 ``vs_baseline`` is achieved nnz/s divided by the BASELINE.json target of
-80% of the HBM-bandwidth roofline (8 bytes/nnz: values + column indices),
-with the roofline *measured on this chip* at run time — so 1.0 means the
-target is met exactly.  Supporting detail goes to stderr.
+80% of the HBM-bandwidth roofline for the CSR format (8 bytes/nnz:
+float32 value + int32 column index), with the roofline *measured on this
+chip* at run time — 1.0 means the target is met exactly.  Values above
+1/0.8 = 1.25 mean the kernel beats the format roofline itself, which the
+diagonal (DIA) plan does legitimately: its gather-free shift kernel
+streams only 4 bytes/nnz (see spmv_vector_cache_tpu/ops/spmv_dia.py).
 
 Workload: a 1M-row, 27-diagonal banded matrix (~28M nonzeros) — the
 bounded-bandwidth class the reference's bundled matrices represent
-(circuit204 et al.), planned by ``auto_plan`` and executed with the
-sliding-window Pallas kernel, chained inside one jit (power iteration) so
-timing is free of dispatch/tunnel effects.
+(circuit204 et al.), planned by ``auto_plan`` (which selects the DIA
+plan for this structure) and chained inside one jit (power iteration).
+
+Timing methodology: two-point marginal timing (see
+``utils/roofline.py:time_marginal``) — through the remote-TPU tunnel a
+single dispatch+sync costs ~25-135 ms, so per-call timing would
+misreport sub-ms kernels by >2x in either direction.  Supporting detail
+(plan stats, roofline audit, the general SELL-kernel number for the same
+matrix) goes to stderr.
 """
 
 import json
@@ -44,8 +53,10 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
     from spmv_vector_cache_tpu.formats.convert import from_scipy
+    from spmv_vector_cache_tpu.formats.dia import DiaPlan
     from spmv_vector_cache_tpu.formats.plan import auto_plan
     from spmv_vector_cache_tpu.ops.spmv_pallas import spmv_plan
+    from spmv_vector_cache_tpu.ops.strategy import plan_nnz
     from spmv_vector_cache_tpu.utils import roofline
     from spmv_vector_cache_tpu.utils.platform import is_tpu
 
@@ -61,42 +72,69 @@ def main():
     m.sort_indices()
     a = from_scipy(m.astype(np.float32))
     plan = auto_plan(a)
-    log(f"plan: nnz={plan.stats.nnz} tiles={plan.stats.num_tiles} "
-        f"fill={plan.stats.fill:.3f} K={plan.stats.window_blocks} "
-        f"stripes={plan.stats.num_stripes}")
+    nnz = plan_nnz(plan)
+    if isinstance(plan, DiaPlan):
+        s = plan.stats
+        log(f"plan: DiaPlan nnz={s.nnz} ndiag={s.ndiag} steps={s.num_steps} "
+            f"fill={s.fill:.3f} bytes/nnz={s.bytes_per_nnz:.2f}")
+    else:
+        log(f"plan: {type(plan).__name__} nnz={nnz}")
     pd = plan.to_device()
     x0 = jnp.asarray(rng.standard_normal(n).astype(np.float32))
 
     # --- correctness gate -------------------------------------------------
     interpret = not is_tpu()
-    y = np.asarray(spmv_plan(pd, x0, strategy="auto", interpret=interpret))
+    y = np.asarray(spmv_plan(pd, x0, interpret=interpret))
     want = m.astype(np.float64) @ np.asarray(x0)
     err = np.abs(y - want).max() / max(1.0, np.abs(want).max())
     log(f"correctness: rel err {err:.3g}")
     assert err < 1e-4, "bench kernel is WRONG, refusing to report"
 
     # --- measured roofline ------------------------------------------------
-    bw = roofline.measure_stream_bandwidth()
-    roof = roofline.spmv_roofline_nnz_per_s(bw)  # 8 B/nnz
-    log(f"measured stream BW {bw/1e9:.0f} GB/s -> roofline "
+    bw = roofline.measure_stream_bandwidth(mode="read")
+    roof = roofline.spmv_roofline_nnz_per_s(bw)  # 8 B/nnz CSR convention
+    log(f"measured read-stream BW {bw/1e9:.0f} GB/s -> CSR roofline "
         f"{roof/1e9:.1f} Gnnz/s")
 
-    # --- timed run (chained power iteration inside one jit) ---------------
-    iters = 30
+    # --- timed run (marginal over chained power iterations) ----------------
+    def make_chain(iters):
+        @jax.jit
+        def go(plan, x):
+            def body(_, v):
+                w = spmv_plan(plan, v, interpret=interpret)
+                return w / jnp.maximum(jnp.linalg.norm(w), 1e-30)
+            return jax.lax.fori_loop(0, iters, body, x)[:1]
+        return lambda: go(pd, x0)
 
-    @jax.jit
-    def chain(plan, x):
-        def body(_, v):
-            w = spmv_plan(plan, v, strategy="auto", interpret=interpret)
-            return w / jnp.maximum(jnp.linalg.norm(w), 1e-30)
-        out = jax.lax.fori_loop(0, iters, body, x)
-        return out[:1]
-
-    dt = roofline.time_chained(lambda: chain(pd, x0), iters=iters)
-    gnnz = plan.stats.nnz / dt / 1e9
+    dt = roofline.time_marginal(make_chain, i1=30, i2=90)
+    gnnz = nnz / dt / 1e9
     frac = gnnz * 1e9 / roof
     log(f"spmv: {dt*1e3:.3f} ms/iter -> {gnnz:.2f} Gnnz/s "
-        f"({100*frac:.1f}% of roofline)")
+        f"({100*frac:.1f}% of the 8 B/nnz CSR roofline)")
+    if isinstance(plan, DiaPlan):
+        dia_roof = bw / plan.stats.bytes_per_nnz
+        log(f"DIA format roofline {dia_roof/1e9:.1f} Gnnz/s -> "
+            f"{100*gnnz*1e9/dia_roof:.1f}% of format speed-of-light")
+
+    # --- general SELL window kernel on the same matrix (stderr detail) -----
+    try:
+        sell = auto_plan(a, allow_dia=False).to_device()
+
+        def make_sell(iters):
+            @jax.jit
+            def go(plan, x):
+                def body(_, v):
+                    w = spmv_plan(plan, v, strategy="window",
+                                  interpret=interpret)
+                    return w / jnp.maximum(jnp.linalg.norm(w), 1e-30)
+                return jax.lax.fori_loop(0, iters, body, x)[:1]
+            return lambda: go(sell, x0)
+
+        dts = roofline.time_marginal(make_sell, i1=10, i2=30)
+        log(f"SELL window kernel (general path): {dts*1e3:.3f} ms/iter -> "
+            f"{nnz/dts/1e9:.2f} Gnnz/s")
+    except Exception as e:  # noqa: BLE001 — detail only, never the headline
+        log(f"SELL detail run skipped: {e}")
 
     target = 0.8 * roof / 1e9
     print(json.dumps({

@@ -1,5 +1,7 @@
-from . import analysis, containers, convert, plan, plan_io, refio  # noqa: F401
+from . import analysis, containers, convert, dia, plan, plan_io, refio  # noqa: F401
 from .containers import BSR, COO, CSC, CSR, ELL  # noqa: F401
+from .dia import (DIA, DiaPlan, HybridPlan, build_dia_plan,  # noqa: F401
+                  csr_to_dia, dia_to_csr, from_scipy_dia, split_diagonal)
 from .convert import (bsr_to_csr, coo_to_csc, coo_to_csr, csc_to_coo,  # noqa: F401
                       csc_to_csr, csr_to_bsr, csr_to_coo, csr_to_csc,
                       csr_to_ell, ell_to_csr, from_scipy, to_dense)

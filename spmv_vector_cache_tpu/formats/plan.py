@@ -411,13 +411,21 @@ def build_sell_plan(a, *, lane_rows: int = 128, positions: int = 8,
 
 
 def auto_plan(a, *, value_dtype=np.float32, max_window_blocks: int = 16,
-              lane_rows: int = 128, positions: int = 8) -> SellPlan:
+              lane_rows: int = 128, positions: int = 8,
+              allow_dia: bool = True, min_diag_fill: float = 0.5,
+              min_dia_coverage: float = 0.3):
     """Heuristic plan selection driven by structure analyses.
 
     Decision features are the TPU ports of the reference's preprocessing
     analyses (maxAlive / maxColSpan / row-length histogram,
-    ``SparseMatrix.cpp:92-119``):
+    ``SparseMatrix.cpp:92-119``), extended with diagonal-structure
+    detection.  Returns the best plan *type* for the matrix — the role the
+    reference assigns to choosing which accelerator bitfile to flash
+    (``HWSpMVFactory.cpp:20-38``):
 
+    0. nonzeros concentrated on dense diagonals -> :class:`~.dia.DiaPlan`
+       (gather-free shift kernel, 4 B/nnz) or a :class:`~.dia.HybridPlan`
+       with the SELL residual;
     1. skewed row lengths -> split + sigma sort;
     2. plain layout window-feasible -> done (banded / narrow matrices);
     3. else, if rows touch few column stripes on average -> stripe the
@@ -425,6 +433,51 @@ def auto_plan(a, *, value_dtype=np.float32, max_window_blocks: int = 16,
     4. else leave window-infeasible (the stream strategy handles it).
     """
     csr = _as_csr(a)
+    if allow_dia and csr.nnz:
+        plan = _try_dia_plan(csr, value_dtype=value_dtype,
+                             max_window_blocks=max_window_blocks,
+                             lane_rows=lane_rows, positions=positions,
+                             min_diag_fill=min_diag_fill,
+                             min_dia_coverage=min_dia_coverage)
+        if plan is not None:
+            return plan
+    return _auto_sell_plan(csr, value_dtype=value_dtype,
+                           max_window_blocks=max_window_blocks,
+                           lane_rows=lane_rows, positions=positions)
+
+
+def _try_dia_plan(csr: CSR, *, value_dtype, max_window_blocks, lane_rows,
+                  positions, min_diag_fill, min_dia_coverage):
+    """DiaPlan / HybridPlan if the diagonal structure pays for it, else
+    None.  Feasibility: the shift kernel keeps the padded x image fully
+    VMEM-resident, so wide matrices fall back to the windowed SELL path."""
+    from ..utils.platform import vmem_budget_bytes
+    from .dia import HybridPlan, build_dia_plan, split_diagonal
+
+    rows, cols = csr.shape
+    itemsize = np.dtype(value_dtype).itemsize
+    # resident x image + double-buffered vals block must fit comfortably
+    if (cols + 2 * 128 * 128) * itemsize > 0.6 * vmem_budget_bytes():
+        return None
+    dia, rest, coverage = split_diagonal(csr, min_diag_fill=min_diag_fill)
+    if dia is None or coverage < min_dia_coverage:
+        return None
+    if rest is not None and coverage < 0.98:
+        # hybrid only worth a second pass over x/y when the dia part
+        # carries real volume
+        if dia.nnz < 4 * rest.nnz:
+            return None
+    dia_plan = build_dia_plan(dia, value_dtype=value_dtype)
+    if rest is None:
+        return dia_plan
+    rest_plan = _auto_sell_plan(rest, value_dtype=value_dtype,
+                                max_window_blocks=max_window_blocks,
+                                lane_rows=lane_rows, positions=positions)
+    return HybridPlan(dia=dia_plan, rest=rest_plan)
+
+
+def _auto_sell_plan(csr: CSR, *, value_dtype, max_window_blocks,
+                    lane_rows, positions) -> SellPlan:
     lens = np.diff(np.asarray(csr.indptr, dtype=np.int64))
     kw = dict(value_dtype=value_dtype, lane_rows=lane_rows,
               positions=positions, max_window_blocks=max_window_blocks)

@@ -35,16 +35,19 @@ class SparseOperator:
     >>> res = cg(op.matvec, b)                      # solver-ready
     """
 
-    def __init__(self, plan: SellPlan, strategy: str = "auto",
-                 matrix=None):
+    def __init__(self, plan, strategy: str = "auto", matrix=None):
+        from ..formats.dia import HybridPlan
+
         self.plan = plan
         self.strategy = (select_strategy(plan) if strategy == "auto"
                          else strategy)
         self._matrix = matrix              # optional original container
+        stats_src = plan.dia if isinstance(plan, HybridPlan) else plan
         self.stats = StatRegistry(
-            {k: v for k, v in plan.stats.as_dict().items()
+            {k: v for k, v in stats_src.stats.as_dict().items()
              if isinstance(v, (int, float))})
         self.stats["strategy_window"] = int(self.strategy == "window")
+        self.stats["strategy_dia"] = int(self.strategy == "dia")
 
     # -- construction -----------------------------------------------------
     @classmethod
@@ -90,8 +93,9 @@ class SparseOperator:
         out = self.matvec(x)
         out_host = np.asarray(out)          # sync (D2H)
         dt = time.perf_counter() - t0
+        from .strategy import plan_nnz
         self.stats["spmvtime"] = dt
-        self.stats["gnnz_per_s"] = self.plan.stats.nnz / dt / 1e9
+        self.stats["gnnz_per_s"] = plan_nnz(self.plan) / dt / 1e9
         if y is not None:
             out_host = out_host + np.asarray(y)
         return out_host
@@ -109,7 +113,8 @@ class SparseOperator:
         return bad
 
     def __repr__(self):
-        s = self.plan.stats
-        return (f"SparseOperator(shape={self.plan.shape}, nnz={s.nnz}, "
-                f"strategy={self.strategy!r}, K={s.window_blocks}, "
-                f"fill={s.fill:.3f})")
+        from .strategy import plan_nnz
+        return (f"SparseOperator(shape={self.plan.shape}, "
+                f"nnz={plan_nnz(self.plan)}, "
+                f"strategy={self.strategy!r}, "
+                f"plan={type(self.plan).__name__})")

@@ -235,12 +235,27 @@ def _spmv_stream(plan: SellPlan, x: Array, interpret: bool = False) -> Array:
 # public entry
 # ---------------------------------------------------------------------------
 
-def spmv_plan(plan: SellPlan, x: Array, *, strategy: str = "auto",
+def spmv_plan(plan, x: Array, *, strategy: str = "auto",
               interpret: Optional[bool] = None) -> Array:
-    """Run SpMV ``y = A @ x`` from a prebuilt :class:`SellPlan`.
+    """Run SpMV ``y = A @ x`` from a prebuilt plan.
 
-    strategy: 'window' | 'stream' | 'auto' (window when the plan permits).
+    Dispatches on plan type: :class:`~..formats.dia.DiaPlan` runs the
+    gather-free shift kernel, :class:`~..formats.dia.HybridPlan` adds the
+    SELL residual pass, :class:`SellPlan` picks among the x-placement
+    strategies: 'window' | 'stream' | 'auto' (window when feasible).
     """
+    from ..formats.dia import DiaPlan, HybridPlan
+    from .spmv_dia import spmv_dia
+
+    if isinstance(plan, DiaPlan):
+        if strategy not in ("auto", "dia"):
+            raise ValueError(f"DiaPlan supports only the 'dia' strategy, "
+                             f"got {strategy!r}")
+        return spmv_dia(plan, x, interpret=interpret)
+    if isinstance(plan, HybridPlan):
+        return (spmv_dia(plan.dia, x, interpret=interpret) +
+                spmv_plan(plan.rest, x, strategy=strategy,
+                          interpret=interpret))
     if interpret is None:
         interpret = platform.use_interpret()
     if strategy == "auto":

@@ -37,8 +37,12 @@ from ..utils.stats import StatRegistry
 Array = Any
 
 
-def select_strategy(plan: SellPlan) -> str:
+def select_strategy(plan) -> str:
     """Pick the execution strategy from plan structure counters."""
+    from ..formats.dia import DiaPlan, HybridPlan
+
+    if isinstance(plan, (DiaPlan, HybridPlan)):
+        return "dia"
     return "window" if plan.stats.window_blocks > 0 else "stream"
 
 
@@ -47,6 +51,15 @@ class SweepResult:
     strategy: str
     seconds: float
     gnnz_per_s: float
+
+
+def plan_nnz(plan) -> int:
+    """Populated nonzeros of any plan type (Sell / Dia / Hybrid)."""
+    from ..formats.dia import HybridPlan
+
+    if isinstance(plan, HybridPlan):
+        return plan.dia.stats.nnz + plan.rest.stats.nnz
+    return plan.stats.nnz
 
 
 def _time_device(fn, *args, iters: int = 10) -> float:
@@ -65,15 +78,20 @@ def _time_device(fn, *args, iters: int = 10) -> float:
     return (time.perf_counter() - t0) / iters
 
 
-def autotune(plan: SellPlan, x: Array, *, iters: int = 10,
+def autotune(plan, x: Array, *, iters: int = 10,
              stats: Optional[StatRegistry] = None) -> Dict[str, SweepResult]:
     """Measure every feasible strategy and return timings (gen-*.sh role)."""
+    from ..formats.dia import DiaPlan, HybridPlan
     from .spmv_pallas import spmv_plan
 
     results: Dict[str, SweepResult] = {}
-    feasible = ["stream"]
-    if plan.stats.window_blocks > 0:
-        feasible.insert(0, "window")
+    if isinstance(plan, (DiaPlan, HybridPlan)):
+        feasible = ["dia" if isinstance(plan, DiaPlan) else "auto"]
+    else:
+        feasible = ["stream"]
+        if plan.stats.window_blocks > 0:
+            feasible.insert(0, "window")
+    nnz = plan_nnz(plan)
     for name in feasible:
         try:
             dt = _time_device(
@@ -82,7 +100,7 @@ def autotune(plan: SellPlan, x: Array, *, iters: int = 10,
             continue
         results[name] = SweepResult(
             strategy=name, seconds=dt,
-            gnnz_per_s=plan.stats.nnz / dt / 1e9 if dt > 0 else 0.0)
+            gnnz_per_s=nnz / dt / 1e9 if dt > 0 else 0.0)
     if stats is not None:
         for name, r in results.items():
             stats[f"{name}_seconds"] = r.seconds

@@ -31,7 +31,7 @@ def run_sweep(matrix_dirs: List[str], strategies: List[str], iters: int,
     from ..formats.plan import auto_plan
     from ..ops import reference
     from ..ops.spmv_pallas import spmv_plan
-    from ..ops.strategy import _time_device
+    from ..ops.strategy import _time_device, plan_nnz
     from ..utils.stats import StatRegistry, csv_rows
 
     registries, extras = [], []
@@ -50,16 +50,18 @@ def run_sweep(matrix_dirs: List[str], strategies: List[str], iters: int,
         sw = reference.spmv_numpy(a, x.astype(np.float64))
         plan = auto_plan(a).to_device()
 
+        nnz = plan_nnz(plan)
         for strat in strategies:
-            stats = StatRegistry()
-            stats.update({k: v for k, v in plan.stats.as_dict().items()
-                          if isinstance(v, (int, float))})
+            # uniform column set across plan types (Sell/Dia/Hybrid rows
+            # must share a CSV schema); plan-type detail goes in `plan`
+            stats = StatRegistry({"nnz": nnz})
             try:
                 y = np.asarray(spmv_plan(plan, jnp.asarray(x),
                                          strategy=strat))
             except ValueError as e:   # infeasible strategy for this plan
                 extras.append({"matrix": name, "strategy": strat,
-                               "status": "infeasible"})
+                               "status": "infeasible",
+                               "plan": type(plan).__name__})
                 registries.append(stats)
                 continue
             # diffFromGolden (HardwareSpMV.cpp:54-61): count of mismatched
@@ -74,12 +76,13 @@ def run_sweep(matrix_dirs: List[str], strategies: List[str], iters: int,
                 lambda s=strat: spmv_plan(plan, jnp.asarray(x), strategy=s),
                 iters=iters)
             stats["spmvtime"] = dt
-            stats["gnnz_per_s"] = plan.stats.nnz / dt / 1e9
+            stats["gnnz_per_s"] = nnz / dt / 1e9
             stats["diffFromSW"] = diff_sw
             stats["diffFromGolden"] = diff_gold
             registries.append(stats)
             extras.append({"matrix": name, "strategy": strat,
-                           "status": "ok" if diff_sw == 0 else "MISMATCH"})
+                           "status": "ok" if diff_sw == 0 else "MISMATCH",
+                           "plan": type(plan).__name__})
     out.write(csv_rows(registries, extras))
     return rc
 

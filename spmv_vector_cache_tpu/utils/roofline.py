@@ -42,8 +42,32 @@ def time_chained(make_fn: Callable[[], Any], *, iters: int,
     return best / iters
 
 
-def measure_stream_bandwidth(nbytes: int = 64 << 20, iters: int = 50) -> float:
-    """Measured HBM streaming bandwidth in bytes/s (read+write)."""
+def time_marginal(make_chain: Callable[[int], Callable[[], Any]],
+                  i1: int = 30, i2: int = 90, repeats: int = 3) -> float:
+    """Per-iteration device time free of fixed dispatch/sync costs.
+
+    ``make_chain(iters)`` returns a nullary callable running ``iters``
+    chained steps in one jit.  Through remote-tunnel backends every call
+    pays a large fixed cost (dispatch RTT + D2H sync — measured ~25-135 ms
+    on the axon tunnel, dwarfing sub-ms kernels); the two-point difference
+    ``(T(i2) - T(i1)) / (i2 - i1)`` cancels it exactly, the TPU-era
+    version of the reference reading cycle counters around only the hot
+    phase (``HardwareSpMVNewCache.cpp:183-187``)."""
+    f1, f2 = make_chain(i1), make_chain(i2)
+    t1 = time_chained(lambda: f1(), iters=1, repeats=repeats)
+    t2 = time_chained(lambda: f2(), iters=1, repeats=repeats)
+    return max((t2 - t1) / (i2 - i1), 1e-12)
+
+
+def measure_stream_bandwidth(nbytes: int = 256 << 20,
+                             mode: str = "read") -> float:
+    """Measured HBM streaming bandwidth in bytes/s.
+
+    ``mode='read'``: read-only sum-reduction stream (the speed-of-light
+    bound for SpMV, whose hot traffic is reads); ``'readwrite'``: scale
+    loop moving 2 bytes per element-byte.  Uses marginal timing so tunnel
+    dispatch latency does not deflate the result (a 64 MB single-shot
+    measurement under-reads by >2x through the axon tunnel)."""
     import jax
     import jax.numpy as jnp
 
@@ -51,14 +75,30 @@ def measure_stream_bandwidth(nbytes: int = 64 << 20, iters: int = 50) -> float:
     x = jnp.asarray(np.random.default_rng(0).standard_normal(n)
                     .astype(np.float32))
 
-    @jax.jit
-    def chain(x):
-        out = jax.lax.fori_loop(
-            0, iters, lambda i, v: v * 1.0000001 + 1e-30 * i, x)
-        return out[:1]
+    if mode == "read":
+        def make(iters):
+            @jax.jit
+            def go(x):
+                def body(i, s):
+                    return s + jnp.sum(x * (1.0 + 1e-9 *
+                                            i.astype(jnp.float32)))
+                return jax.lax.fori_loop(0, iters, body,
+                                         jnp.float32(0)).reshape(1)
+            return lambda: go(x)
+        bytes_per_iter = n * 4
+    else:
+        def make(iters):
+            @jax.jit
+            def go(x):
+                return jax.lax.fori_loop(
+                    0, iters,
+                    lambda i, v: v * 1.0000001 + 1e-30 *
+                    i.astype(jnp.float32), x)[:1]
+            return lambda: go(x)
+        bytes_per_iter = 2 * n * 4
 
-    dt = time_chained(lambda: chain(x), iters=iters)
-    return 2.0 * n * 4 / dt
+    dt = time_marginal(make, i1=50, i2=150)
+    return bytes_per_iter / dt
 
 
 def spmv_roofline_nnz_per_s(stream_bw: float, bytes_per_nnz: float = 8.0

@@ -114,7 +114,8 @@ def test_kernel_banded_sliding_window(rng):
     m.sort_indices()
     a = convert.from_scipy(m.astype(np.float32))
     x = rng.standard_normal(n).astype(np.float32)
-    p = planmod.auto_plan(a)
+    # banded matrices auto-plan to DIA now; force the SELL path under test
+    p = planmod.auto_plan(a, allow_dia=False)
     assert p.stats.window_blocks > 0                   # banded -> feasible
     assert p.stats.num_stripes == 1                    # no striping needed
     y = np.asarray(spmv_pallas.spmv_plan(p.to_device(), x, strategy="window"))
