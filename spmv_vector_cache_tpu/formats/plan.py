@@ -51,6 +51,14 @@ Array = Any
 #: tiles per kernel grid step (output block sublane alignment requires 8)
 TILES_PER_STEP = 8
 
+#: tiles sharing one x-window base.  Finer granularity shrinks each
+#: window's column span (for a banded matrix a 4-tile group usually spans
+#: one 128-row slice -> K=3 blocks instead of 4), cutting the number of
+#: gather passes — the dominant cost of the window kernel.  Must divide
+#: TILES_PER_STEP; kernels pair two 4-tile groups per 8-sublane output
+#: write to keep stores aligned.
+WINDOW_GROUP_TILES = 4
+
 
 @dataclasses.dataclass(frozen=True)
 class PlanStats:
@@ -83,8 +91,9 @@ class SellPlan:
     ``vals``/``cols``: (T, P, R) — tile t covers R=128 sub-rows (lane axis)
     of slice ``tile_slice[t]`` and P=8 successive nonzero positions of each
     (sublane axis); padding slots carry (0, column 0).  ``tile_slice`` is
-    nondecreasing.  ``window_base``: (T/8,) per-step x window base in
-    128-lane blocks (only meaningful when ``stats.window_blocks > 0``).
+    nondecreasing.  ``window_base``: (T/WINDOW_GROUP_TILES,) per-group x
+    window base in 128-lane blocks (only meaningful when
+    ``stats.window_blocks > 0``).
     ``row_map`` sends sub-row slots back to original rows for the
     split/sigma/stripe fixup; ``identity_map`` means y is simply the first
     ``rows`` entries of the flat sub-row vector.
@@ -94,7 +103,7 @@ class SellPlan:
     cols: Array          # (T, P, R) int32 global column ids
     cols_win: Array      # (T, P, R) int16 in-window offsets (empty if K == 0)
     tile_slice: Array    # (T,) int32, nondecreasing
-    window_base: Array   # (T/8,) int32 — x window base per kernel step
+    window_base: Array   # (T/WINDOW_GROUP_TILES,) int32 x window base
     row_map: Array       # (num_slices * R,) int32 → original row, `rows` = pad
     shape: Tuple[int, int]
     lane_rows: int       # R
@@ -166,7 +175,8 @@ def compute_cols_win(vals: np.ndarray, cols: np.ndarray,
     T, P, R = cols.shape
     if not window_blocks or not T:
         return np.zeros((0, P, R), np.int16)
-    wb_tile = np.repeat(np.asarray(window_base, np.int64), TILES_PER_STEP)
+    wb_tile = np.repeat(np.asarray(window_base, np.int64),
+                        WINDOW_GROUP_TILES)
     off = cols.astype(np.int64) - (wb_tile * 128)[:, None, None]
     off = np.where(vals != 0, off, 0)
     return off.astype(np.int16)
@@ -352,9 +362,10 @@ def build_sell_plan(a, *, lane_rows: int = 128, positions: int = 8,
     tile_slice = np.repeat(np.arange(num_slices, dtype=np.int32),
                            ntiles_padded)
 
-    # --- 4. per-step window base + feasibility ------------------------------
-    flat_cols = cols.reshape(T // B, -1)
-    flat_valid = (vals.reshape(T // B, -1) != 0)
+    # --- 4. per-group window base + feasibility ------------------------------
+    WG = WINDOW_GROUP_TILES
+    flat_cols = cols.reshape(T // WG, -1)
+    flat_valid = (vals.reshape(T // WG, -1) != 0)
     cmin = np.where(flat_valid, flat_cols, np.iinfo(np.int32).max).min(axis=1)
     cmax = np.where(flat_valid, flat_cols, -1).max(axis=1)
     any_valid = cmax >= 0
@@ -381,7 +392,7 @@ def build_sell_plan(a, *, lane_rows: int = 128, positions: int = 8,
         cols = np.concatenate([cols, np.zeros((pad, P, R), cols.dtype)])
         tile_slice = np.concatenate(
             [tile_slice, np.full(pad, num_slices - 1, np.int32)])
-        wb = np.concatenate([wb, np.zeros(pad // B, wb.dtype)])
+        wb = np.concatenate([wb, np.zeros(pad // WG, wb.dtype)])
         T = T + pad
 
     # --- 5. fixup map --------------------------------------------------------
@@ -546,7 +557,7 @@ def validate_plan(plan: SellPlan, a=None) -> None:
     K = plan.stats.window_blocks
     if K > 0:
         wb = np.asarray(plan.window_base).astype(np.int64)
-        step_of_tile = np.arange(T) // B
+        step_of_tile = np.arange(T) // WINDOW_GROUP_TILES
         lo = wb[step_of_tile] * 128
         ok = ~live | ((cols >= lo[:, None, None]) &
                       (cols < (lo + K * 128)[:, None, None]))

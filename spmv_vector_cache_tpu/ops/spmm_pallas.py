@@ -22,7 +22,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..formats.plan import TILES_PER_STEP, SellPlan
+from ..formats.plan import TILES_PER_STEP, WINDOW_GROUP_TILES, SellPlan
 from ..utils import platform
 
 Array = Any
@@ -30,17 +30,20 @@ Array = Any
 RHS_CHUNK = 8   # RHS columns per kernel pass (sublane granularity)
 
 
-def _make_spmm_kernel(K: int, G: int, P: int, R: int, B: int):
+def _make_spmm_kernel(K: int, NG: int, P: int, R: int, WG: int):
+    """NG groups of WG=4 tiles per step; group g gathers 8 RHS rows from
+    its own K-block window.  The out block's tile axis is not the sublane
+    axis (block (1, step, 8, R)), so 4-tile writes need no pairing."""
     def kernel(wb_ref, vals_ref, cols_ref, *rest):
-        bt_refs, out_ref = rest[:G * K], rest[G * K]
+        bt_refs, out_ref = rest[:NG * K], rest[NG * K]
         i = pl.program_id(1)
-        v = vals_ref[...]                                 # (G*B, P, R)
+        v = vals_ref[...]                                 # (NG*WG, P, R)
         cols = cols_ref[...]
-        for g in range(G):
-            base = wb_ref[i * G + g] * 128
-            cg = (cols[g * B:(g + 1) * B] - base).reshape(B * P, R)
-            vg = v[g * B:(g + 1) * B].reshape(B * P, R)
-            accs = [jnp.zeros((B * P, R), v.dtype)
+        for g in range(NG):
+            base = wb_ref[i * NG + g] * 128
+            cg = (cols[g * WG:(g + 1) * WG] - base).reshape(WG * P, R)
+            vg = v[g * WG:(g + 1) * WG].reshape(WG * P, R)
+            accs = [jnp.zeros((WG * P, R), v.dtype)
                     for _ in range(RHS_CHUNK)]
             for b in range(K):
                 off = cg - b * 128
@@ -48,14 +51,14 @@ def _make_spmm_kernel(K: int, G: int, P: int, R: int, B: int):
                 idx = jnp.where(inb, off, 0)
                 bt = bt_refs[g * K + b][0]                # (8, 128)
                 for c in range(RHS_CHUNK):
-                    src = jnp.broadcast_to(bt[c][None, :], (B * P, 128))
+                    src = jnp.broadcast_to(bt[c][None, :], (WG * P, 128))
                     gat = jnp.take_along_axis(src, idx, axis=1)
                     accs[c] = accs[c] + \
                         jnp.where(inb, gat, jnp.zeros((), v.dtype)) * vg
-            # (8, B*P, R) -> (B, 8, R): per-tile sublane sum + transpose
-            acc = jnp.stack(accs)                         # (8, B*P, R)
-            per_tile = jnp.sum(acc.reshape(RHS_CHUNK, B, P, R), axis=2)
-            out_ref[0, g * B:(g + 1) * B] = per_tile.transpose(1, 0, 2)
+            # (8, WG*P, R) -> (WG, 8, R): per-tile sublane sum + transpose
+            acc = jnp.stack(accs)                         # (8, WG*P, R)
+            per_tile = jnp.sum(acc.reshape(RHS_CHUNK, WG, P, R), axis=2)
+            out_ref[0, g * WG:(g + 1) * WG] = per_tile.transpose(1, 0, 2)
     return kernel
 
 
@@ -80,10 +83,12 @@ def _spmm_window(plan: SellPlan, bt: Array, interpret: bool = False) -> Array:
                 ((0, k8 * RHS_CHUNK - k), (0, 0))).reshape(
                     k8, RHS_CHUNK, -1))
 
+    WG = WINDOW_GROUP_TILES
+    NG = (B * G) // WG
     bt_specs = [
         pl.BlockSpec((1, RHS_CHUNK, 128),
-                     lambda kc, i, wb, g=g, b=b: (kc, 0, wb[i * G + g] + b))
-        for g in range(G) for b in range(K)
+                     lambda kc, i, wb, g=g, b=b: (kc, 0, wb[i * NG + g] + b))
+        for g in range(NG) for b in range(K)
     ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -97,12 +102,12 @@ def _spmm_window(plan: SellPlan, bt: Array, interpret: bool = False) -> Array:
                                lambda kc, i, wb: (kc, i, 0, 0)),
     )
     partials = pl.pallas_call(
-        _make_spmm_kernel(K, G, P, R, B),
+        _make_spmm_kernel(K, NG, P, R, WG),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((k8, T, RHS_CHUNK, R),
                                        plan.vals.dtype),
         interpret=interpret,
-    )(plan.window_base, plan.vals, plan.cols, *([btp] * (G * K)))
+    )(plan.window_base, plan.vals, plan.cols, *([btp] * (NG * K)))
 
     # fold tiles -> slices, then sub-rows -> rows
     y4 = jax.ops.segment_sum(partials.transpose(1, 0, 2, 3),

@@ -48,7 +48,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..formats.plan import TILES_PER_STEP, SellPlan
+from ..formats.plan import TILES_PER_STEP, WINDOW_GROUP_TILES, SellPlan
 from ..utils import platform
 
 Array = Any
@@ -83,64 +83,82 @@ def _reduce_partials(plan: SellPlan, partials: Array) -> Array:
 X_RESIDENT_BUDGET_BYTES = 8 << 20
 
 
-def _group_accumulate(K: int, B: int, P: int, R: int, vg, cw, get_xb):
-    """Multiply-gather one group: vals (B,P,R) x in-window offsets (B,P,R)
-    against a K*128-wide x window served block-wise by ``get_xb(b)``
-    ((1, 128) block b of the window).
+def _group_accumulate(K: int, WG: int, P: int, R: int, vg, cw, get_xb):
+    """Multiply-gather one window group: vals (WG,P,R) x in-window offsets
+    (WG,P,R) against a K*128-wide x window served block-wise by
+    ``get_xb(b)`` ((1, 128) block b of the window).
 
     ``cw`` offsets are plan-precomputed (``compute_cols_win``) and already
     in [0, K*128), so the per-pass steering is two cheap integer ops —
     ``bucket = off >> 7`` picks the 128-lane block, ``off & 127`` the lane
     — instead of the subtract/compare/clamp chain the global-cols kernel
-    needed.  Padding slots carry (val 0, offset 0): they gather a real lane
-    but contribute val*x = 0."""
-    bucket = jax.lax.shift_right_logical(cw, 7)          # (B, P, R)
-    idx = jnp.bitwise_and(cw, 127).reshape(B * P, R)
-    acc = jnp.zeros((B, P, R), vg.dtype)
+    needed.  Each block is gathered once and the K gathered candidates are
+    merged with K-1 selects before a single multiply (gather passes are
+    the kernel's dominant cost; the per-pass multiply/add of the earlier
+    scheme measured ~20% slower).  Padding slots carry (val 0, offset 0):
+    they gather a real lane but contribute val*x = 0."""
+    bucket = jax.lax.shift_right_logical(cw, 7)          # (WG, P, R)
+    idx = jnp.bitwise_and(cw, 127).reshape(WG * P, R)
+    gat = None
     for b in range(K):
         xb = get_xb(b)                                   # (1, 128)
-        gat = jnp.take_along_axis(
-            jnp.broadcast_to(xb, (B * P, 128)), idx,
-            axis=1).reshape(B, P, R)
-        vb = vg if K == 1 else jnp.where(bucket == b, vg,
-                                         jnp.zeros((), vg.dtype))
-        acc = acc + gat * vb
-    return jnp.sum(acc, axis=1)                          # (B, R)
+        gb = jnp.take_along_axis(
+            jnp.broadcast_to(xb, (WG * P, 128)), idx,
+            axis=1).reshape(WG, P, R)
+        gat = gb if gat is None else jnp.where(bucket == b, gb, gat)
+    return jnp.sum(vg * gat, axis=1)                     # (WG, R)
 
 
-def _make_window_kernel_resident(K: int, G: int, P: int, R: int, B: int):
-    """Window kernel with x fully VMEM-resident: each group slices its
-    K x 128 window out of the resident copy at a 128-aligned dynamic
+def _make_window_kernel_resident(K: int, NG: int, P: int, R: int, WG: int):
+    """Window kernel with x fully VMEM-resident: each 4-tile group slices
+    its K x 128 window out of the resident copy at a 128-aligned dynamic
     offset — no per-step x DMAs (probe-measured ~35% faster than
-    scalar-steered window fetches)."""
+    scalar-steered window fetches).  Two groups share one 8-sublane output
+    write (stores must stay 8-row aligned)."""
+    PAIR = TILES_PER_STEP // WG
+
     def kernel(wb_ref, vals_ref, cols_ref, x_ref, out_ref):
         i = pl.program_id(0)
-        v = vals_ref[...]                                # (G*B, P, R)
+        v = vals_ref[...]                                # (NG*WG, P, R)
         cw = cols_ref[...].astype(jnp.int32)             # int16 -> int32
-        for g in range(G):
-            base = wb_ref[i * G + g] * 128
+
+        def group(g):
+            base = wb_ref[i * NG + g] * 128
 
             def get_xb(b, base=base):
                 start = pl.multiple_of(base + b * 128, 128)
                 return x_ref[0:1, pl.ds(start, 128)]
-            out_ref[g * B:(g + 1) * B, :] = _group_accumulate(
-                K, B, P, R, v[g * B:(g + 1) * B],
-                cw[g * B:(g + 1) * B], get_xb)
+            return _group_accumulate(
+                K, WG, P, R, v[g * WG:(g + 1) * WG],
+                cw[g * WG:(g + 1) * WG], get_xb)
+
+        for w in range(NG // PAIR):
+            parts = [group(w * PAIR + j) for j in range(PAIR)]
+            res = parts[0] if PAIR == 1 else jnp.concatenate(parts, axis=0)
+            out_ref[w * TILES_PER_STEP:(w + 1) * TILES_PER_STEP, :] = res
     return kernel
 
 
-def _make_window_kernel(K: int, G: int, P: int, R: int, B: int):
-    """Kernel over one grid step = G groups of B=8 tiles; group g gathers
-    from its own K x 128 window (x_refs[g*K + b])."""
+def _make_window_kernel(K: int, NG: int, P: int, R: int, WG: int):
+    """Kernel over one grid step = NG groups of WG=4 tiles; group g
+    gathers from its own K x 128 window (x_refs[g*K + b])."""
+    PAIR = TILES_PER_STEP // WG
+
     def kernel(wb_ref, vals_ref, cols_ref, *rest):
-        x_refs, out_ref = rest[:G * K], rest[G * K]
-        v = vals_ref[...]                                # (G*B, P, R)
+        x_refs, out_ref = rest[:NG * K], rest[NG * K]
+        v = vals_ref[...]                                # (NG*WG, P, R)
         cw = cols_ref[...].astype(jnp.int32)             # int16 -> int32
-        for g in range(G):
-            out_ref[g * B:(g + 1) * B, :] = _group_accumulate(
-                K, B, P, R, v[g * B:(g + 1) * B],
-                cw[g * B:(g + 1) * B],
+
+        def group(g):
+            return _group_accumulate(
+                K, WG, P, R, v[g * WG:(g + 1) * WG],
+                cw[g * WG:(g + 1) * WG],
                 lambda b, g=g: x_refs[g * K + b][...])
+
+        for w in range(NG // PAIR):
+            parts = [group(w * PAIR + j) for j in range(PAIR)]
+            res = parts[0] if PAIR == 1 else jnp.concatenate(parts, axis=0)
+            out_ref[w * TILES_PER_STEP:(w + 1) * TILES_PER_STEP, :] = res
     return kernel
 
 
@@ -160,6 +178,8 @@ def _spmv_window(plan: SellPlan, x: Array, interpret: bool = False) -> Array:
     xp = jnp.zeros((1, nblocks * 128), plan.vals.dtype)
     xp = xp.at[0, :plan.shape[1]].set(jnp.asarray(x, plan.vals.dtype))
 
+    WG = WINDOW_GROUP_TILES
+    NG = (B * G) // WG                        # 4-tile window groups per step
     import os
     budget = int(os.environ.get("SPMV_TPU_X_RESIDENT_BYTES",
                                 X_RESIDENT_BUDGET_BYTES))
@@ -174,13 +194,13 @@ def _spmv_window(plan: SellPlan, x: Array, interpret: bool = False) -> Array:
             ],
             out_specs=pl.BlockSpec((B * G, R), lambda i, wb: (i, 0)),
         )
-        kernel = _make_window_kernel_resident(K, G, P, R, B)
+        kernel = _make_window_kernel_resident(K, NG, P, R, WG)
         operands = (plan.window_base, plan.vals, plan.cols_win, xp)
     else:
         x_specs = [
             pl.BlockSpec((1, 128),
-                         lambda i, wb, g=g, b=b: (0, wb[i * G + g] + b))
-            for g in range(G) for b in range(K)
+                         lambda i, wb, g=g, b=b: (0, wb[i * NG + g] + b))
+            for g in range(NG) for b in range(K)
         ]
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,                # window_base
@@ -192,9 +212,9 @@ def _spmv_window(plan: SellPlan, x: Array, interpret: bool = False) -> Array:
             ],
             out_specs=pl.BlockSpec((B * G, R), lambda i, wb: (i, 0)),
         )
-        kernel = _make_window_kernel(K, G, P, R, B)
+        kernel = _make_window_kernel(K, NG, P, R, WG)
         operands = (plan.window_base, plan.vals, plan.cols_win,
-                    *([xp] * (G * K)))
+                    *([xp] * (NG * K)))
     partials = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,

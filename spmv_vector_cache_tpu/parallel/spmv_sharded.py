@@ -38,8 +38,8 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..formats import analysis
 from ..formats.containers import CSR
-from ..formats.plan import (PlanStats, SellPlan, _as_csr, build_sell_plan,
-                            compute_cols_win)
+from ..formats.plan import (WINDOW_GROUP_TILES, PlanStats, SellPlan,
+                            _as_csr, build_sell_plan, compute_cols_win)
 from ..utils import platform
 
 Array = Any
@@ -62,7 +62,7 @@ class ShardedPlan:
     cols: Array          # (D, T, P, R) — GLOBAL column indices
     cols_win: Array      # (D, T, P, R) int16 in-window offsets (empty K == 0)
     tile_slice: Array    # (D, T)
-    window_base: Array   # (D, T/8) — global x window base per step
+    window_base: Array   # (D, T/WINDOW_GROUP_TILES) — global x window base
     row_map: Array       # (D, num_slices*R) — LOCAL row ids (rps = padding)
     shape: Tuple[int, int]
     num_shards: int
@@ -141,7 +141,7 @@ def build_sharded_plan(a, num_shards: int, *, value_dtype=np.float32,
     vals = np.zeros((D, T, Pp, R), dtype=value_dtype)
     cols = np.zeros((D, T, Pp, R), dtype=np.int32)
     tile_slice = np.zeros((D, T), dtype=np.int32)
-    window_base = np.zeros((D, T // 8), dtype=np.int32)
+    window_base = np.zeros((D, T // WINDOW_GROUP_TILES), dtype=np.int32)
     row_map = np.full((D, S * R), rps, dtype=np.int32)
     for d, p in enumerate(plans):
         t = p.num_tiles
@@ -149,7 +149,7 @@ def build_sharded_plan(a, num_shards: int, *, value_dtype=np.float32,
         cols[d, :t] = p.cols
         tile_slice[d, :t] = p.tile_slice
         tile_slice[d, t:] = S - 1          # padding tiles: last slice, zeros
-        window_base[d, :t // 8] = p.window_base
+        window_base[d, :t // WINDOW_GROUP_TILES] = p.window_base
         row_map[d, :p.row_map.shape[0]] = p.row_map
 
     identity = all(p.identity_map for p in plans) and \

@@ -26,7 +26,7 @@ def test_sharded_plan_shapes(rng):
     assert sp.num_shards == 8
     assert sp.rows_per_shard == 128          # rounded to lane multiple
     assert sp.vals.shape == sp.cols.shape
-    assert sp.window_base.shape == (8, sp.vals.shape[1] // 8)
+    assert sp.window_base.shape == (8, sp.vals.shape[1] // 4)
 
 
 def test_spmv_sharded_all_gather(rng):

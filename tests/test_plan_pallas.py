@@ -30,7 +30,7 @@ def test_plan_basic_invariants(rng):
     assert p.stats.nnz == a.nnz
     assert p.tile_slice.shape == (T,)
     assert np.all(np.diff(p.tile_slice) >= 0)          # nondecreasing
-    assert p.window_base.shape == (T // planmod.TILES_PER_STEP,)
+    assert p.window_base.shape == (T // planmod.WINDOW_GROUP_TILES,)
     assert p.identity_map
     # cols=200 -> window covers everything in 2 blocks
     assert 0 < p.stats.window_blocks <= 2
