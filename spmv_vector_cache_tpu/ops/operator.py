@@ -77,14 +77,23 @@ class SparseOperator:
     def matvec(self, x: Array) -> Array:
         return spmv_plan(self.plan, x, strategy=self.strategy)
 
+    def matmat(self, b: Array) -> Array:
+        """Multi-RHS ``Y = A @ B`` — fused Pallas SpMM when the plan
+        supports it, XLA reference path otherwise."""
+        from .spmm_pallas import spmm_plan
+
+        try:
+            return spmm_plan(self.plan, b)
+        except ValueError:
+            if self._matrix is None:
+                raise
+            return reference.spmm(self._matrix, b)
+
     def __matmul__(self, x: Array) -> Array:
         x = jnp.asarray(x)
         if x.ndim == 1:
             return self.matvec(x)
-        if self._matrix is None:
-            raise ValueError("matmat needs the original container; "
-                             "construct via from_matrix")
-        return reference.spmm(self._matrix, x)
+        return self.matmat(x)
 
     def exec(self, x: Array, y: Optional[Array] = None) -> Array:
         """Timed application with stat recording (SpMV::exec role,

@@ -126,9 +126,27 @@ def _spmm_window(plan: SellPlan, bt: Array, interpret: bool = False) -> Array:
     return y[:, :k]
 
 
-def spmm_plan(plan: SellPlan, b: Array, *,
+def spmm_plan(plan, b: Array, *,
               interpret: Optional[bool] = None) -> Array:
-    """Fused SpMM ``Y = A @ B`` from a prebuilt plan (B: (cols, k))."""
+    """Fused SpMM ``Y = A @ B`` from a prebuilt plan (B: (cols, k)).
+
+    Dispatches on plan type like :func:`.spmv_pallas.spmv_plan`: DiaPlan
+    runs the gather-free diagonal SpMM when its x image fits VMEM,
+    HybridPlan adds the SELL residual pass.
+    """
+    from ..formats.dia import DiaPlan, HybridPlan
+    from .spmm_dia import spmm_dia, spmm_dia_feasible
+
+    if isinstance(plan, DiaPlan):
+        if not spmm_dia_feasible(plan):
+            raise ValueError(
+                "DIA SpMM x image exceeds the VMEM budget for this matrix "
+                "width; use a SELL plan (auto_plan(allow_dia=False)) or the "
+                "reference spmm path")
+        return spmm_dia(plan, b, interpret=interpret)
+    if isinstance(plan, HybridPlan):
+        return (spmm_plan(plan.dia, b, interpret=interpret) +
+                spmm_plan(plan.rest, b, interpret=interpret))
     if interpret is None:
         interpret = platform.use_interpret()
     bt = jnp.asarray(b).T

@@ -185,3 +185,59 @@ def test_dia_int32_exact(rng):
     y = np.asarray(spmv_dia(p.to_device(), x))
     want = reference.spmv_numpy(ai, x.astype(np.int64))
     np.testing.assert_array_equal(y.astype(np.int64), want)
+
+
+# ---------------------------------------------------------------------------
+# DIA SpMM (multi-RHS)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("k", [1, 8, 20])
+def test_dia_spmm_matches_reference(rng, k):
+    from spmv_vector_cache_tpu.ops.spmm_dia import spmm_dia
+    n = 900
+    m = _banded(rng, n, [-130, -1, 0, 3, 200])
+    a = convert.from_scipy(m)
+    p = diamod.build_dia_plan(a, sublanes=8).to_device()
+    b = rng.standard_normal((n, k)).astype(np.float32)
+    y = np.asarray(spmm_dia(p, b))
+    want = m.astype(np.float64) @ b
+    np.testing.assert_allclose(y, want, rtol=2e-5, atol=2e-5)
+
+
+def test_dia_spmm_rectangular(rng):
+    from spmv_vector_cache_tpu.ops.spmm_dia import spmm_dia
+    rows, cols = 300, 520
+    d0 = rng.standard_normal(rows).astype(np.float32)
+    m = sp.diags([d0, d0], [0, 200], shape=(rows, cols), format="csr")
+    a = convert.from_scipy(m.astype(np.float32))
+    p = diamod.build_dia_plan(a, sublanes=8).to_device()
+    b = rng.standard_normal((cols, 5)).astype(np.float32)
+    y = np.asarray(spmm_dia(p, b))
+    np.testing.assert_allclose(y, m.astype(np.float64) @ b,
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_spmm_plan_dispatch_hybrid(rng):
+    from spmv_vector_cache_tpu.ops.spmm_pallas import spmm_plan
+    m = _banded(rng, 512, list(range(-8, 9))).tolil()
+    for r, c in zip(rng.integers(0, 512, 200), rng.integers(0, 512, 200)):
+        m[int(r), int(c)] = 1.0
+    a = convert.from_scipy(m.tocsr().astype(np.float32))
+    p = auto_plan(a)
+    assert isinstance(p, diamod.HybridPlan)
+    b = rng.standard_normal((512, 8)).astype(np.float32)
+    y = np.asarray(spmm_plan(p.to_device(), b))
+    want = m.tocsr().astype(np.float64) @ b
+    np.testing.assert_allclose(y, want, rtol=2e-5, atol=2e-5)
+
+
+def test_operator_matmat_dia(rng):
+    from spmv_vector_cache_tpu.ops.operator import SparseOperator
+    m = _banded(rng, 640, [-2, 0, 2])
+    a = convert.from_scipy(m)
+    op = SparseOperator.from_matrix(a)
+    assert op.strategy == "dia"
+    b = rng.standard_normal((640, 4)).astype(np.float32)
+    y = np.asarray(op @ b)
+    np.testing.assert_allclose(y, m.astype(np.float64) @ b,
+                               rtol=2e-5, atol=2e-5)

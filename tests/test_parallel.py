@@ -4,6 +4,7 @@ import numpy as np
 import pytest
 
 import jax
+import jax.numpy as jnp
 
 from spmv_vector_cache_tpu.formats import convert
 from spmv_vector_cache_tpu.ops import reference
@@ -85,3 +86,63 @@ def test_sharded_jits_end_to_end(rng):
     f = jax.jit(lambda spl, xv: spmv_sharded(spl, xv, mesh, mode="all_gather"))
     y = np.asarray(f(jax.tree.map(jax.numpy.asarray, sp), x))
     np.testing.assert_allclose(y, _want(a, x), rtol=2e-5, atol=2e-5)
+
+
+# ---------------------------------------------------------------------------
+# sharded DIA (ppermute halo exchange)
+# ---------------------------------------------------------------------------
+
+def _banded_sq(rng, n, offs):
+    import scipy.sparse as sp
+    m = sp.spdiags(rng.standard_normal((len(offs), n)).astype(np.float32),
+                   offs, n, n).tocsr()
+    m.sort_indices()
+    return m.astype(np.float32)
+
+
+def test_sharded_dia_matches_reference(rng):
+    from spmv_vector_cache_tpu.formats.convert import from_scipy
+    from spmv_vector_cache_tpu.parallel.dia_sharded import (
+        build_sharded_dia_plan, spmv_dia_sharded)
+    from spmv_vector_cache_tpu.parallel.spmv_sharded import make_mesh
+
+    n, D = 8 * 1024, 8
+    m = _banded_sq(rng, n, [-130, -1, 0, 1, 130])
+    a = from_scipy(m)
+    sp_plan = build_sharded_dia_plan(a, D, sublanes=8)
+    assert sp_plan.halo == 256                        # round128(130)
+    sp_plan = jax.tree.map(jnp.asarray, sp_plan)
+    mesh = make_mesh(D)
+    x = rng.standard_normal(n).astype(np.float32)
+    y = np.asarray(spmv_dia_sharded(sp_plan, x, mesh))
+    want = m.astype(np.float64) @ x
+    np.testing.assert_allclose(y, want, rtol=2e-5, atol=2e-5)
+
+
+def test_sharded_dia_rejects_wide_band(rng):
+    from spmv_vector_cache_tpu.formats.convert import from_scipy
+    from spmv_vector_cache_tpu.parallel.dia_sharded import \
+        build_sharded_dia_plan
+
+    n = 2048
+    m = _banded_sq(rng, n, [0, 1500])
+    with pytest.raises(ValueError, match="span"):
+        build_sharded_dia_plan(from_scipy(m), 8, sublanes=2)
+
+
+def test_sharded_dia_edge_wraparound_is_zero(rng):
+    """Ring halos wrap garbage into edge shards; zero values must kill it."""
+    from spmv_vector_cache_tpu.formats.convert import from_scipy
+    from spmv_vector_cache_tpu.parallel.dia_sharded import (
+        build_sharded_dia_plan, spmv_dia_sharded)
+    from spmv_vector_cache_tpu.parallel.spmv_sharded import make_mesh
+
+    n, D = 4 * 1024, 4
+    m = _banded_sq(rng, n, [-128, 128])               # pure off-diagonals
+    a = from_scipy(m)
+    sp_plan = jax.tree.map(jnp.asarray, build_sharded_dia_plan(a, D,
+                                                               sublanes=8))
+    x = np.full(n, 7.0, np.float32)                   # uniform: wrap errors
+    y = np.asarray(spmv_dia_sharded(sp_plan, x, make_mesh(D)))
+    want = m.astype(np.float64) @ x                   # edges differ inside
+    np.testing.assert_allclose(y, want, rtol=2e-5, atol=2e-5)
