@@ -23,13 +23,17 @@ import numpy as np
 
 
 def weak_scaling(rows_per_device: int = 1 << 16, ndiag: int = 17,
-                 iters: int = 10, device_counts=None,
+                 iters: int = 10, device_counts=None, mode: str = "sell",
                  log=sys.stderr) -> List[Dict[str, Any]]:
+    """``mode``: 'sell' (general window kernel + all-gather/halo) or 'dia'
+    (diagonal shift kernel + ppermute halos — the banded fast path)."""
     import jax
     import jax.numpy as jnp
     import scipy.sparse as sp
 
     from ..formats.convert import from_scipy
+    from ..parallel.dia_sharded import (build_sharded_dia_plan,
+                                        spmv_dia_sharded)
     from ..parallel.spmv_sharded import (build_sharded_plan, make_mesh,
                                          spmv_sharded)
     from ..utils import roofline
@@ -47,24 +51,31 @@ def weak_scaling(rows_per_device: int = 1 << 16, ndiag: int = 17,
                        n, n).tocsr()
         m.sort_indices()
         a = from_scipy(m.astype(np.float32))
-        spn = build_sharded_plan(a, nd)
+        if mode == "dia":
+            spn = build_sharded_dia_plan(a, nd)
+            run = lambda s, v: spmv_dia_sharded(s, v, mesh)  # noqa: E731
+        else:
+            spn = build_sharded_plan(a, nd)
+            run = lambda s, v: spmv_sharded(s, v, mesh, mode="auto")  # noqa: E731
         spn = jax.tree.map(jnp.asarray, spn)
         mesh = make_mesh(nd)
         x = jnp.asarray(rng.standard_normal(n).astype(np.float32))
 
         # correctness gate
-        y = np.asarray(spmv_sharded(spn, x, mesh, mode="auto"))
+        y = np.asarray(run(spn, x))
         ok = np.allclose(y, m.astype(np.float64) @ np.asarray(x),
                          rtol=1e-3, atol=1e-3)
 
-        @jax.jit
-        def chain(xv):
-            def body(i, v):
-                w = spmv_sharded(spn, v, mesh, mode="auto")
-                return w / jnp.maximum(jnp.linalg.norm(w), 1e-30)
-            return jax.lax.fori_loop(0, iters, body, xv)[:1]
+        def make(k):
+            @jax.jit
+            def chain(spl, xv):
+                def body(i, v):
+                    w = run(spl, v)
+                    return w / jnp.maximum(jnp.linalg.norm(w), 1e-30)
+                return jax.lax.fori_loop(0, k, body, xv)[:1]
+            return lambda: chain(spn, x)
 
-        dt = roofline.time_chained(lambda: chain(x), iters=iters)
+        dt = roofline.time_marginal(make, i1=iters, i2=3 * iters)
         if base_time is None:
             base_time = dt
         eff = base_time / dt
@@ -82,9 +93,10 @@ def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--rows-per-device", type=int, default=1 << 16)
     ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--mode", choices=("sell", "dia"), default="sell")
     args = ap.parse_args(argv)
     results = weak_scaling(rows_per_device=args.rows_per_device,
-                           iters=args.iters)
+                           iters=args.iters, mode=args.mode)
     print(json.dumps(results))
     return 0
 

@@ -10,8 +10,9 @@ Workloads (BASELINE.json configs 1-4, single chip):
 6. ``trisolve``       — blocked sparse triangular solve
 
 Every entry gates on correctness before timing; results print as CSV and
-return as dicts.  Timing is chained-in-jit with D2H sync (see
-``utils/roofline``).
+return as dicts.  Timing is two-point marginal over chained-in-jit runs
+(see ``utils/roofline.time_marginal``) so remote-tunnel dispatch latency
+cannot deflate the rates.
 """
 
 from __future__ import annotations
@@ -27,13 +28,15 @@ def _chain_time(step_fn, state0, iters: int) -> float:
 
     from ..utils import roofline
 
-    @jax.jit
-    def chain(s0):
-        out = jax.lax.fori_loop(0, iters, lambda i, s: step_fn(s), s0)
-        leaf = jax.tree_util.tree_leaves(out)[0]
-        return leaf.reshape(-1)[:1]
+    def make(n):
+        @jax.jit
+        def chain(s0):
+            out = jax.lax.fori_loop(0, n, lambda i, s: step_fn(s), s0)
+            leaf = jax.tree_util.tree_leaves(out)[0]
+            return leaf.reshape(-1)[:1]
+        return lambda: chain(state0)
 
-    return roofline.time_chained(lambda: chain(state0), iters=iters)
+    return roofline.time_marginal(make, i1=iters, i2=3 * iters)
 
 
 def run_suite(iters: int = 20, log=sys.stderr) -> List[Dict[str, Any]]:
@@ -45,6 +48,7 @@ def run_suite(iters: int = 20, log=sys.stderr) -> List[Dict[str, Any]]:
     from ..ops import reference, spgemm, sptrsv
     from ..ops.spmm_pallas import spmm_plan
     from ..ops.spmv_pallas import spmv_plan
+    from ..ops.strategy import plan_nnz
     from ..utils.platform import is_tpu
 
     interp = not is_tpu()
@@ -74,7 +78,17 @@ def run_suite(iters: int = 20, log=sys.stderr) -> List[Dict[str, Any]]:
     dt = _chain_time(
         lambda v: spmv_plan(plan, v, interpret=interp) /
         jnp.asarray(np.float32(nd)), x0, iters)
-    record("spmv_banded", ok, dt, plan.stats.nnz, "nnz")
+    record("spmv_banded", ok, dt, plan_nnz(plan), "nnz")
+
+    # --- 1b. banded SpMV through the general SELL window kernel ------------
+    plan_sell = auto_plan(a, allow_dia=False).to_device()
+    y1b = np.asarray(spmv_plan(plan_sell, x0, interpret=interp))
+    ok1b = np.allclose(y1b, m.astype(np.float64) @ np.asarray(x0),
+                       rtol=1e-4, atol=1e-4)
+    dt1b = _chain_time(
+        lambda v: spmv_plan(plan_sell, v, interpret=interp) /
+        jnp.asarray(np.float32(nd)), x0, iters)
+    record("spmv_banded_sell", ok1b, dt1b, plan_sell.stats.nnz, "nnz")
 
     # --- 2. power-law SpMV ------------------------------------------------
     n2 = 1 << 17
@@ -119,16 +133,32 @@ def run_suite(iters: int = 20, log=sys.stderr) -> List[Dict[str, Any]]:
         lambda B: reference.spmm(ab, B) * np.float32(0.1), b0, iters)
     record("spmm_bsr", okb, dtb, flops, "FLOP")
 
-    # --- 4. fused windowed SpMM ------------------------------------------
+    # --- 4. fused windowed SpMM (SELL path) --------------------------------
     k4 = 16
     b4 = jnp.asarray(rng.standard_normal((n, k4)).astype(np.float32))
-    y4 = np.asarray(spmm_plan(plan, b4, interpret=interp))
+    y4 = np.asarray(spmm_plan(plan_sell, b4, interpret=interp))
     ok4 = np.allclose(y4, m.astype(np.float64) @ np.asarray(b4),
                       rtol=1e-3, atol=1e-3)
     dt4 = _chain_time(
-        lambda B: spmm_plan(plan, B, interpret=interp) * np.float32(0.19),
+        lambda B: spmm_plan(plan_sell, B, interpret=interp) * np.float32(0.19),
         b4, max(iters // 4, 3))
-    record("spmm_fused", ok4, dt4, plan.stats.nnz * k4, "nnzRHS")
+    record("spmm_fused", ok4, dt4, plan_sell.stats.nnz * k4, "nnzRHS")
+
+    # --- 4b. fused DIA SpMM (x image must fit VMEM: smaller n) -------------
+    from ..formats.dia import build_dia_plan
+    n4b = 1 << 17
+    m4b = sp.spdiags(rng.standard_normal((nd, n4b)).astype(np.float32),
+                     list(range(-(nd // 2), nd // 2 + 1)), n4b, n4b).tocsr()
+    m4b.sort_indices()
+    p4b = build_dia_plan(from_scipy(m4b.astype(np.float32))).to_device()
+    b4b = jnp.asarray(rng.standard_normal((n4b, k4)).astype(np.float32))
+    y4b = np.asarray(spmm_plan(p4b, b4b, interpret=interp))
+    ok4b = np.allclose(y4b, m4b.astype(np.float64) @ np.asarray(b4b),
+                       rtol=1e-3, atol=1e-3)
+    dt4b = _chain_time(
+        lambda B: spmm_plan(p4b, B, interpret=interp) * np.float32(0.19),
+        b4b, max(iters // 4, 3))
+    record("spmm_dia", ok4b, dt4b, p4b.stats.nnz * k4, "nnzRHS")
 
     # --- 5. SpGEMM numeric phase -----------------------------------------
     n5 = 1 << 14
