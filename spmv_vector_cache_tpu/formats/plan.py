@@ -76,6 +76,7 @@ class PlanStats:
     window_blocks: int      # K required by the windowed kernel (0 = infeasible)
     max_window_base: int    # max of window_base (static x padding bound)
     groups_per_step: int    # 8-tile window groups fused per kernel grid step
+    pad_value: float = 0.0  # value of padding slots (the semiring's zero)
     uniform_tiles_per_slice: int = 0  # u if every slice spans exactly u
     # tiles and u | 8 (enables the in-kernel slice reduction); 0 otherwise
 
@@ -158,17 +159,18 @@ def _cdiv(a, b):
     return -(-a // b)
 
 
-def compute_cols_win(vals: np.ndarray, cols: np.ndarray,
+def compute_cols_win(live: np.ndarray, cols: np.ndarray,
                      window_base: np.ndarray, window_blocks: int
                      ) -> np.ndarray:
     """In-window column offsets, the windowed kernel's streamed index form.
 
-    Live slots (val != 0) become ``col - window_base[step]*128`` — by
-    construction in ``[0, window_blocks*128)``, so they fit int16 and the
-    kernel streams half the index bytes of the global int32 ``cols`` (the
-    cols channel is one of the two hot DMA streams, cf. the reference's
-    per-channel burst sizing, ``spmv-common.scala:26-29``).  Padding slots
-    are forced to offset 0 (their value is 0, so the gathered lane never
+    Live slots (``live`` mask; ``vals != 0`` for plus-times plans) become
+    ``col - window_base[group]*128`` — by construction in
+    ``[0, window_blocks*128)``, so they fit int16 and the kernel streams
+    half the index bytes of the global int32 ``cols`` (the cols channel is
+    one of the two hot DMA streams, cf. the reference's per-channel burst
+    sizing, ``spmv-common.scala:26-29``).  Padding slots are forced to
+    offset 0 (their value is the semiring zero, so the gathered lane never
     contributes).  Returns an empty (0, P, R) array when the windowed
     kernel is infeasible (``window_blocks == 0``).
     """
@@ -178,7 +180,7 @@ def compute_cols_win(vals: np.ndarray, cols: np.ndarray,
     wb_tile = np.repeat(np.asarray(window_base, np.int64),
                         WINDOW_GROUP_TILES)
     off = cols.astype(np.int64) - (wb_tile * 128)[:, None, None]
-    off = np.where(vals != 0, off, 0)
+    off = np.where(live != 0, off, 0)
     return off.astype(np.int16)
 
 
@@ -188,7 +190,8 @@ def build_sell_plan(a, *, lane_rows: int = 128, positions: int = 8,
                     stripe_width: Optional[int] = None,
                     max_window_blocks: int = 16,
                     groups_per_step: Optional[int] = None,
-                    value_dtype=np.float32) -> SellPlan:
+                    value_dtype=np.float32,
+                    pad_value: float = 0.0) -> SellPlan:
     """Build a SELL tile plan from any container (host-side, numpy).
 
     ``split``: max nonzeros per sub-row (None = no splitting).
@@ -201,6 +204,9 @@ def build_sell_plan(a, *, lane_rows: int = 128, positions: int = 8,
     window groups) — the per-step DMA burst size knob, the analog of the
     reference's per-channel burst-beat configuration
     (``spmv-common.scala:26-29``); None = heuristic.
+    ``pad_value``: value of padding slots — the additive identity of the
+    semiring the plan will run under (0 for plus-times, +inf for
+    min-plus, ...), so padding contributes nothing to any reduction.
     """
     csr = _as_csr(a)
     rows, cols_n = csr.shape
@@ -342,8 +348,9 @@ def build_sell_plan(a, *, lane_rows: int = 128, positions: int = 8,
     tile_base = np.concatenate(([0], np.cumsum(ntiles_padded)))
     T = int(tile_base[-1])
 
-    vals = np.zeros((T, P, R), dtype=value_dtype)
+    vals = np.full((T, P, R), pad_value, dtype=value_dtype)
     cols = np.zeros((T, P, R), dtype=np.int32)
+    live = np.zeros((T, P, R), dtype=bool)
     if nnz:
         vsrc = slot_src[slot_src >= 0]
         k_slot = np.flatnonzero(slot_valid)          # slot index per subrow
@@ -358,6 +365,7 @@ def build_sell_plan(a, *, lane_rows: int = 128, positions: int = 8,
         p = q % P
         vals[t, p, j] = data[src].astype(value_dtype)
         cols[t, p, j] = indices[src].astype(np.int32)
+        live[t, p, j] = True
 
     tile_slice = np.repeat(np.arange(num_slices, dtype=np.int32),
                            ntiles_padded)
@@ -365,7 +373,7 @@ def build_sell_plan(a, *, lane_rows: int = 128, positions: int = 8,
     # --- 4. per-group window base + feasibility ------------------------------
     WG = WINDOW_GROUP_TILES
     flat_cols = cols.reshape(T // WG, -1)
-    flat_valid = (vals.reshape(T // WG, -1) != 0)
+    flat_valid = live.reshape(T // WG, -1)
     cmin = np.where(flat_valid, flat_cols, np.iinfo(np.int32).max).min(axis=1)
     cmax = np.where(flat_valid, flat_cols, -1).max(axis=1)
     any_valid = cmax >= 0
@@ -388,8 +396,10 @@ def build_sell_plan(a, *, lane_rows: int = 128, positions: int = 8,
     step = B * groups
     if T % step:
         pad = step - T % step
-        vals = np.concatenate([vals, np.zeros((pad, P, R), vals.dtype)])
+        vals = np.concatenate([vals,
+                               np.full((pad, P, R), pad_value, vals.dtype)])
         cols = np.concatenate([cols, np.zeros((pad, P, R), cols.dtype)])
+        live = np.concatenate([live, np.zeros((pad, P, R), bool)])
         tile_slice = np.concatenate(
             [tile_slice, np.full(pad, num_slices - 1, np.int32)])
         wb = np.concatenate([wb, np.zeros(pad // WG, wb.dtype)])
@@ -410,9 +420,9 @@ def build_sell_plan(a, *, lane_rows: int = 128, positions: int = 8,
         padded_slots=T * P * R - nnz,
         fill=float(nnz) / float(T * P * R) if T else 0.0,
         window_blocks=window_blocks, max_window_base=max_window_base,
-        groups_per_step=groups)
+        groups_per_step=groups, pad_value=float(pad_value))
 
-    cols_win = compute_cols_win(vals, cols, wb, window_blocks)
+    cols_win = compute_cols_win(live, cols, wb, window_blocks)
 
     return SellPlan(vals=vals, cols=cols, cols_win=cols_win,
                     tile_slice=tile_slice,
@@ -424,7 +434,7 @@ def build_sell_plan(a, *, lane_rows: int = 128, positions: int = 8,
 def auto_plan(a, *, value_dtype=np.float32, max_window_blocks: int = 16,
               lane_rows: int = 128, positions: int = 8,
               allow_dia: bool = True, min_diag_fill: float = 0.5,
-              min_dia_coverage: float = 0.3):
+              min_dia_coverage: float = 0.3, semiring="plus_times"):
     """Heuristic plan selection driven by structure analyses.
 
     Decision features are the TPU ports of the reference's preprocessing
@@ -443,8 +453,14 @@ def auto_plan(a, *, value_dtype=np.float32, max_window_blocks: int = 16,
        columns so the windowed kernel applies;
     4. else leave window-infeasible (the stream strategy handles it).
     """
+    from ..ops import semiring as sr
+
+    s = sr.get(semiring)
     csr = _as_csr(a)
-    if allow_dia and csr.nnz:
+    # the DIA container encodes absence as 0, which is only the additive
+    # identity of plus-times; other semirings run the SELL path with
+    # padding set to their own zero
+    if allow_dia and csr.nnz and s.name == "plus_times":
         plan = _try_dia_plan(csr, value_dtype=value_dtype,
                              max_window_blocks=max_window_blocks,
                              lane_rows=lane_rows, positions=positions,
@@ -454,7 +470,8 @@ def auto_plan(a, *, value_dtype=np.float32, max_window_blocks: int = 16,
             return plan
     return _auto_sell_plan(csr, value_dtype=value_dtype,
                            max_window_blocks=max_window_blocks,
-                           lane_rows=lane_rows, positions=positions)
+                           lane_rows=lane_rows, positions=positions,
+                           pad_value=float(s.zero))
 
 
 def _try_dia_plan(csr: CSR, *, value_dtype, max_window_blocks, lane_rows,
@@ -488,10 +505,12 @@ def _try_dia_plan(csr: CSR, *, value_dtype, max_window_blocks, lane_rows,
 
 
 def _auto_sell_plan(csr: CSR, *, value_dtype, max_window_blocks,
-                    lane_rows, positions) -> SellPlan:
+                    lane_rows, positions, pad_value: float = 0.0
+                    ) -> SellPlan:
     lens = np.diff(np.asarray(csr.indptr, dtype=np.int64))
     kw = dict(value_dtype=value_dtype, lane_rows=lane_rows,
-              positions=positions, max_window_blocks=max_window_blocks)
+              positions=positions, max_window_blocks=max_window_blocks,
+              pad_value=pad_value)
     split = None
     sigma = None
     if lens.size and lens.max() > 0:
@@ -549,7 +568,8 @@ def validate_plan(plan: SellPlan, a=None) -> None:
 
     cols = np.asarray(plan.cols)
     vals = np.asarray(plan.vals)
-    live = vals != 0
+    pad = plan.stats.pad_value
+    live = (vals != pad) if np.isfinite(pad) else np.isfinite(vals)
     if live.any():
         live_cols = cols[live]
         if live_cols.min() < 0 or live_cols.max() >= plan.shape[1]:

@@ -63,8 +63,8 @@ def load_plan(path: str) -> SellPlan:
     stats = PlanStats(**meta["stats"])
     if "cols_win" not in arrays:        # version-1 plans predate cols_win
         arrays["cols_win"] = compute_cols_win(
-            arrays["vals"], arrays["cols"], arrays["window_base"],
-            stats.window_blocks)
+            arrays["vals"] != stats.pad_value, arrays["cols"],
+            arrays["window_base"], stats.window_blocks)
     return SellPlan(shape=tuple(meta["shape"]), lane_rows=meta["lane_rows"],
                     positions=meta["positions"],
                     identity_map=meta["identity_map"], stats=stats,

@@ -35,10 +35,13 @@ class SparseOperator:
     >>> res = cg(op.matvec, b)                      # solver-ready
     """
 
-    def __init__(self, plan, strategy: str = "auto", matrix=None):
+    def __init__(self, plan, strategy: str = "auto", matrix=None,
+                 semiring: str = "plus_times"):
         from ..formats.dia import HybridPlan
+        from . import semiring as sr
 
         self.plan = plan
+        self.semiring = sr.get(semiring).name
         self.strategy = (select_strategy(plan) if strategy == "auto"
                          else strategy)
         self._matrix = matrix              # optional original container
@@ -53,14 +56,18 @@ class SparseOperator:
     @classmethod
     def from_matrix(cls, a, *, strategy: str = "auto",
                     value_dtype=np.float32, tune: bool = False,
+                    semiring: str = "plus_times",
                     **plan_kwargs) -> "SparseOperator":
         """Plan ``a`` (any container) and select an execution strategy.
 
         ``tune=True`` runs the timing sweep (the gen-*.sh bitfile-sweep
-        role) instead of the structure heuristic.
+        role) instead of the structure heuristic.  ``semiring`` selects
+        the algebra; the plan's padding is built to match.
         """
-        plan = auto_plan(a, value_dtype=value_dtype, **plan_kwargs)
-        op = cls(plan.to_device(), strategy=strategy, matrix=a)
+        plan = auto_plan(a, value_dtype=value_dtype, semiring=semiring,
+                         **plan_kwargs)
+        op = cls(plan.to_device(), strategy=strategy, matrix=a,
+                 semiring=semiring)
         if tune and strategy == "auto":
             x = np.ones(a.shape[1], value_dtype)
             results = autotune(op.plan, x, iters=5, stats=op.stats)
@@ -75,7 +82,8 @@ class SparseOperator:
         return self.plan.shape
 
     def matvec(self, x: Array) -> Array:
-        return spmv_plan(self.plan, x, strategy=self.strategy)
+        return spmv_plan(self.plan, x, strategy=self.strategy,
+                         semiring=self.semiring)
 
     def matmat(self, b: Array) -> Array:
         """Multi-RHS ``Y = A @ B`` — fused Pallas SpMM when the plan

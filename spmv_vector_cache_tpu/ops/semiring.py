@@ -37,20 +37,23 @@ class Semiring:
     mxu_capable: bool = False  # (mul, add) == (*, +): reductions may use matmul
 
     def segment_reduce(self, values: Array, segment_ids: Array,
-                       num_segments: int) -> Array:
+                       num_segments: int,
+                       indices_are_sorted: bool = False) -> Array:
         """Reduce ``values`` by segment with this semiring's ``add``."""
         import jax
 
         if self.name == "plus_times":
             return jax.ops.segment_sum(values, segment_ids,
-                                       num_segments=num_segments)
+                                       num_segments=num_segments,
+                                       indices_are_sorted=indices_are_sorted)
         if self.name == "max_times" or self.name == "max_plus":
             return jax.ops.segment_max(values, segment_ids,
                                        num_segments=num_segments,
-                                       indices_are_sorted=False)
+                                       indices_are_sorted=indices_are_sorted)
         if self.name == "min_plus":
             return jax.ops.segment_min(values, segment_ids,
-                                       num_segments=num_segments)
+                                       num_segments=num_segments,
+                                       indices_are_sorted=indices_are_sorted)
         if self.name == "or_and":
             # clamp before the cast back: empty segments fill with int32 min,
             # which must read as False, not truthy
@@ -58,6 +61,26 @@ class Semiring:
                                     num_segments=num_segments)
             return (m > 0).astype(values.dtype)
         raise NotImplementedError(f"segment reduce for semiring {self.name}")
+
+
+def kernel_ops(name: str):
+    """(mul, axis_reduce) as Pallas-friendly float ops for the SELL kernels.
+
+    The boolean semiring runs on a {0.0, 1.0} float encoding (and = *,
+    or = max), so every semiring lowers to VPU mul/min/max/add — the TPU
+    counterpart of the reference swapping combinational/staged/blackboxed
+    operator implementations behind one interface
+    (``SemiringOp.scala:5-154``).
+    """
+    if name == "plus_times":
+        return jnp.multiply, (lambda a, axis: jnp.sum(a, axis=axis))
+    if name == "min_plus":
+        return jnp.add, (lambda a, axis: jnp.min(a, axis=axis))
+    if name == "max_plus":
+        return jnp.add, (lambda a, axis: jnp.max(a, axis=axis))
+    if name in ("max_times", "or_and"):
+        return jnp.multiply, (lambda a, axis: jnp.max(a, axis=axis))
+    raise NotImplementedError(f"kernel ops for semiring {name}")
 
 
 PLUS_TIMES = Semiring("plus_times", add=jnp.add, mul=jnp.multiply, zero=0.0,

@@ -60,17 +60,22 @@ STRATEGIES = ("window", "stream")
 # reductions shared by both strategies
 # ---------------------------------------------------------------------------
 
-def _reduce_partials(plan: SellPlan, partials: Array) -> Array:
-    """(T, R) per-tile partials -> y: slice fold + sub-row fixup."""
+def _reduce_partials(plan: SellPlan, partials: Array,
+                     semiring: str = "plus_times") -> Array:
+    """(T, R) per-tile partials -> y: slice fold + sub-row fixup, both
+    under the semiring's additive reduction."""
+    from . import semiring as sr
+
+    s = sr.get(semiring)
     rows = plan.shape[0]
-    y2d = jax.ops.segment_sum(partials, jnp.asarray(plan.tile_slice),
-                              num_segments=plan.num_slices,
-                              indices_are_sorted=True)
+    y2d = s.segment_reduce(partials, jnp.asarray(plan.tile_slice),
+                           num_segments=plan.num_slices,
+                           indices_are_sorted=True)
     flat = y2d.reshape(-1)
     if plan.identity_map:
         return flat[:rows]
-    y = jax.ops.segment_sum(flat, jnp.asarray(plan.row_map),
-                            num_segments=rows + 1)
+    y = s.segment_reduce(flat, jnp.asarray(plan.row_map),
+                         num_segments=rows + 1)
     return y[:rows]
 
 
@@ -83,7 +88,8 @@ def _reduce_partials(plan: SellPlan, partials: Array) -> Array:
 X_RESIDENT_BUDGET_BYTES = 8 << 20
 
 
-def _group_accumulate(K: int, WG: int, P: int, R: int, vg, cw, get_xb):
+def _group_accumulate(K: int, WG: int, P: int, R: int, vg, cw, get_xb,
+                      semiring: str = "plus_times"):
     """Multiply-gather one window group: vals (WG,P,R) x in-window offsets
     (WG,P,R) against a K*128-wide x window served block-wise by
     ``get_xb(b)`` ((1, 128) block b of the window).
@@ -97,6 +103,9 @@ def _group_accumulate(K: int, WG: int, P: int, R: int, vg, cw, get_xb):
     the kernel's dominant cost; the per-pass multiply/add of the earlier
     scheme measured ~20% slower).  Padding slots carry (val 0, offset 0):
     they gather a real lane but contribute val*x = 0."""
+    from . import semiring as sr
+
+    mul, axis_reduce = sr.kernel_ops(semiring)
     bucket = jax.lax.shift_right_logical(cw, 7)          # (WG, P, R)
     idx = jnp.bitwise_and(cw, 127).reshape(WG * P, R)
     gat = None
@@ -106,10 +115,11 @@ def _group_accumulate(K: int, WG: int, P: int, R: int, vg, cw, get_xb):
             jnp.broadcast_to(xb, (WG * P, 128)), idx,
             axis=1).reshape(WG, P, R)
         gat = gb if gat is None else jnp.where(bucket == b, gb, gat)
-    return jnp.sum(vg * gat, axis=1)                     # (WG, R)
+    return axis_reduce(mul(vg, gat), 1)                  # (WG, R)
 
 
-def _make_window_kernel_resident(K: int, NG: int, P: int, R: int, WG: int):
+def _make_window_kernel_resident(K: int, NG: int, P: int, R: int, WG: int,
+                                 semiring: str = "plus_times"):
     """Window kernel with x fully VMEM-resident: each 4-tile group slices
     its K x 128 window out of the resident copy at a 128-aligned dynamic
     offset — no per-step x DMAs (probe-measured ~35% faster than
@@ -130,7 +140,7 @@ def _make_window_kernel_resident(K: int, NG: int, P: int, R: int, WG: int):
                 return x_ref[0:1, pl.ds(start, 128)]
             return _group_accumulate(
                 K, WG, P, R, v[g * WG:(g + 1) * WG],
-                cw[g * WG:(g + 1) * WG], get_xb)
+                cw[g * WG:(g + 1) * WG], get_xb, semiring)
 
         for w in range(NG // PAIR):
             parts = [group(w * PAIR + j) for j in range(PAIR)]
@@ -139,7 +149,8 @@ def _make_window_kernel_resident(K: int, NG: int, P: int, R: int, WG: int):
     return kernel
 
 
-def _make_window_kernel(K: int, NG: int, P: int, R: int, WG: int):
+def _make_window_kernel(K: int, NG: int, P: int, R: int, WG: int,
+                        semiring: str = "plus_times"):
     """Kernel over one grid step = NG groups of WG=4 tiles; group g
     gathers from its own K x 128 window (x_refs[g*K + b])."""
     PAIR = TILES_PER_STEP // WG
@@ -153,7 +164,7 @@ def _make_window_kernel(K: int, NG: int, P: int, R: int, WG: int):
             return _group_accumulate(
                 K, WG, P, R, v[g * WG:(g + 1) * WG],
                 cw[g * WG:(g + 1) * WG],
-                lambda b, g=g: x_refs[g * K + b][...])
+                lambda b, g=g: x_refs[g * K + b][...], semiring)
 
         for w in range(NG // PAIR):
             parts = [group(w * PAIR + j) for j in range(PAIR)]
@@ -162,8 +173,9 @@ def _make_window_kernel(K: int, NG: int, P: int, R: int, WG: int):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _spmv_window(plan: SellPlan, x: Array, interpret: bool = False) -> Array:
+@functools.partial(jax.jit, static_argnames=("interpret", "semiring"))
+def _spmv_window(plan: SellPlan, x: Array, interpret: bool = False,
+                 semiring: str = "plus_times") -> Array:
     T, P, R = plan.vals.shape
     B = TILES_PER_STEP
     K = plan.stats.window_blocks
@@ -194,7 +206,7 @@ def _spmv_window(plan: SellPlan, x: Array, interpret: bool = False) -> Array:
             ],
             out_specs=pl.BlockSpec((B * G, R), lambda i, wb: (i, 0)),
         )
-        kernel = _make_window_kernel_resident(K, NG, P, R, WG)
+        kernel = _make_window_kernel_resident(K, NG, P, R, WG, semiring)
         operands = (plan.window_base, plan.vals, plan.cols_win, xp)
     else:
         x_specs = [
@@ -212,7 +224,7 @@ def _spmv_window(plan: SellPlan, x: Array, interpret: bool = False) -> Array:
             ],
             out_specs=pl.BlockSpec((B * G, R), lambda i, wb: (i, 0)),
         )
-        kernel = _make_window_kernel(K, NG, P, R, WG)
+        kernel = _make_window_kernel(K, NG, P, R, WG, semiring)
         operands = (plan.window_base, plan.vals, plan.cols_win,
                     *([xp] * (NG * K)))
     partials = pl.pallas_call(
@@ -221,24 +233,31 @@ def _spmv_window(plan: SellPlan, x: Array, interpret: bool = False) -> Array:
         out_shape=jax.ShapeDtypeStruct((T, R), plan.vals.dtype),
         interpret=interpret,
     )(*operands)
-    return _reduce_partials(plan, partials)
+    return _reduce_partials(plan, partials, semiring)
 
 
 # ---------------------------------------------------------------------------
 # stream strategy
 # ---------------------------------------------------------------------------
 
-def _stream_kernel(vals_ref, xg_ref, out_ref):
-    out_ref[...] = jnp.sum(vals_ref[...] * xg_ref[...], axis=1)
+def _make_stream_kernel(semiring: str):
+    from . import semiring as sr
+
+    mul, axis_reduce = sr.kernel_ops(semiring)
+
+    def kernel(vals_ref, xg_ref, out_ref):
+        out_ref[...] = axis_reduce(mul(vals_ref[...], xg_ref[...]), 1)
+    return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _spmv_stream(plan: SellPlan, x: Array, interpret: bool = False) -> Array:
+@functools.partial(jax.jit, static_argnames=("interpret", "semiring"))
+def _spmv_stream(plan: SellPlan, x: Array, interpret: bool = False,
+                 semiring: str = "plus_times") -> Array:
     T, P, R = plan.vals.shape
     B = TILES_PER_STEP * plan.stats.groups_per_step
     xg = jnp.take(jnp.asarray(x, plan.vals.dtype), plan.cols, axis=0)
     partials = pl.pallas_call(
-        _stream_kernel,
+        _make_stream_kernel(semiring),
         grid=(T // B,),
         in_specs=[
             pl.BlockSpec((B, P, R), lambda i: (i, 0, 0)),
@@ -248,7 +267,7 @@ def _spmv_stream(plan: SellPlan, x: Array, interpret: bool = False) -> Array:
         out_shape=jax.ShapeDtypeStruct((T, R), plan.vals.dtype),
         interpret=interpret,
     )(plan.vals, xg)
-    return _reduce_partials(plan, partials)
+    return _reduce_partials(plan, partials, semiring)
 
 
 # ---------------------------------------------------------------------------
@@ -256,17 +275,30 @@ def _spmv_stream(plan: SellPlan, x: Array, interpret: bool = False) -> Array:
 # ---------------------------------------------------------------------------
 
 def spmv_plan(plan, x: Array, *, strategy: str = "auto",
-              interpret: Optional[bool] = None) -> Array:
-    """Run SpMV ``y = A @ x`` from a prebuilt plan.
+              interpret: Optional[bool] = None,
+              semiring: str = "plus_times") -> Array:
+    """Run SpMV ``y = A (+).(x) x`` from a prebuilt plan over a semiring.
 
     Dispatches on plan type: :class:`~..formats.dia.DiaPlan` runs the
     gather-free shift kernel, :class:`~..formats.dia.HybridPlan` adds the
     SELL residual pass, :class:`SellPlan` picks among the x-placement
     strategies: 'window' | 'stream' | 'auto' (window when feasible).
+
+    ``semiring``: name or :class:`.semiring.Semiring` — plus_times,
+    min_plus, max_plus, max_times, or_and ({0,1}-float encoded).  The plan
+    must have been built with ``pad_value`` = the semiring's zero
+    (``auto_plan(semiring=...)`` does this); DIA plans support plus_times
+    only.
     """
     from ..formats.dia import DiaPlan, HybridPlan
+    from . import semiring as sr
     from .spmv_dia import spmv_dia
 
+    semiring = sr.get(semiring).name
+    if isinstance(plan, (DiaPlan, HybridPlan)) and semiring != "plus_times":
+        raise ValueError("DIA plans encode absence as 0 and support only "
+                         "plus_times; build a SELL plan via "
+                         "auto_plan(semiring=...)")
     if isinstance(plan, DiaPlan):
         if strategy not in ("auto", "dia"):
             raise ValueError(f"DiaPlan supports only the 'dia' strategy, "
@@ -282,7 +314,7 @@ def spmv_plan(plan, x: Array, *, strategy: str = "auto",
         strategy = "window" if plan.stats.window_blocks > 0 else "stream"
     x = jnp.asarray(x)
     if strategy == "window":
-        return _spmv_window(plan, x, interpret=interpret)
+        return _spmv_window(plan, x, interpret=interpret, semiring=semiring)
     if strategy == "stream":
-        return _spmv_stream(plan, x, interpret=interpret)
+        return _spmv_stream(plan, x, interpret=interpret, semiring=semiring)
     raise ValueError(f"unknown strategy {strategy!r}")

@@ -164,7 +164,8 @@ def build_sharded_plan(a, num_shards: int, *, value_dtype=np.float32,
     # int16 array serves both exchange modes
     if window_blocks:
         cols_win = np.stack([
-            compute_cols_win(vals[d], cols[d], window_base[d], window_blocks)
+            compute_cols_win(vals[d] != 0, cols[d], window_base[d],
+                             window_blocks)
             for d in range(D)])
     else:
         cols_win = np.zeros((D, 0, Pp, R), np.int16)
