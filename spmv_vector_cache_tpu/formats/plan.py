@@ -479,16 +479,16 @@ def _try_dia_plan(csr: CSR, *, value_dtype, max_window_blocks, lane_rows,
     """DiaPlan / HybridPlan if the diagonal structure pays for it, else
     None.  Feasibility: the shift kernel keeps the padded x image fully
     VMEM-resident, so wide matrices fall back to the windowed SELL path."""
-    from ..utils.platform import vmem_budget_bytes
     from .dia import HybridPlan, build_dia_plan, split_diagonal
 
-    rows, cols = csr.shape
-    itemsize = np.dtype(value_dtype).itemsize
-    # resident x image + double-buffered vals block must fit comfortably
-    if (cols + 2 * 128 * 128) * itemsize > 0.6 * vmem_budget_bytes():
-        return None
     dia, rest, coverage = split_diagonal(csr, min_diag_fill=min_diag_fill)
     if dia is None or coverage < min_dia_coverage:
+        return None
+    # the shift kernel streams sliding x blocks when x exceeds VMEM, but
+    # each step's window must stay a few blocks wide: bound the diagonal
+    # span (wider structure belongs to the SELL window/stripe machinery)
+    offs = np.asarray(dia.offsets)
+    if offs.size and int(offs.max() - offs.min()) > 12 * 64 * 128:
         return None
     if rest is not None and coverage < 0.98:
         # hybrid only worth a second pass over x/y when the dia part

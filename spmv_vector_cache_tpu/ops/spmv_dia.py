@@ -51,6 +51,14 @@ def _decompose(pad_left: int, off: int):
     return 8 * q1024, q, s
 
 
+def _shift_lanes(a, s: int, S: int, lane):
+    """(S+1, 128) -> (S, 128) shifted by s lanes with one-sublane carry."""
+    if s == 0:
+        return a[:S]
+    rot = pltpu.roll(a, 128 - s, axis=1)
+    return jnp.where(lane < 128 - s, rot[:S], rot[1:])
+
+
 def _make_dia_kernel(offsets, pad_left: int, S: int, acc_dtype):
     dec = [_decompose(pad_left, o) for o in offsets]
 
@@ -62,44 +70,107 @@ def _make_dia_kernel(offsets, pad_left: int, S: int, acc_dtype):
             base = pl.multiple_of(i * S + row_q, 8)
             wide = x_ref[pl.ds(base, S + 8), :]
             a = wide[q:q + S + 1]
-            if s == 0:
-                xs = a[:S]
-            else:
-                rot = pltpu.roll(a, 128 - s, axis=1)
-                xs = jnp.where(lane < 128 - s, rot[:S], rot[1:])
+            xs = _shift_lanes(a, s, S, lane)
             acc = acc + v_ref[0, k].astype(acc_dtype) * xs.astype(acc_dtype)
         o_ref[0] = acc
 
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _spmv_dia(plan: DiaPlan, x: Array, interpret: bool = False) -> Array:
+def _make_dia_kernel_windowed(offsets, pad_left: int, S: int, J: int,
+                              acc_dtype):
+    """Kernel for x too large to keep VMEM-resident: step i sees J sliding
+    (S, 128) x blocks (block j = image rows [(i+j)*S, (i+j+1)*S)), streamed
+    by the Mosaic pipeliner; each diagonal's row window is assembled from
+    the statically-known blocks it spans."""
+    dec = [_decompose(pad_left, o) for o in offsets]
+    assert all(row_q + S + 8 <= J * S for row_q, _, _ in dec)
+
+    def kernel(v_ref, *rest):
+        x_blocks, o_ref = rest[:J], rest[J]
+        acc = jnp.zeros((S, 128), acc_dtype)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (S, 128), 1)
+        for k, (row_q, q, s) in enumerate(dec):
+            # rows [row_q, row_q + S + 8) out of the J-block window
+            j0, r0 = divmod(row_q, S)
+            parts, need = [], S + 8
+            j, r = j0, r0
+            while need > 0:
+                take = min(S - r, need)
+                parts.append(x_blocks[j][r:r + take])
+                need -= take
+                j, r = j + 1, 0
+            wide = parts[0] if len(parts) == 1 else \
+                jnp.concatenate(parts, axis=0)
+            a = wide[q:q + S + 1]
+            xs = _shift_lanes(a, s, S, lane)
+            acc = acc + v_ref[0, k].astype(acc_dtype) * xs.astype(acc_dtype)
+        o_ref[0] = acc
+
+    return kernel
+
+
+#: resident x image budget: larger images stream as sliding blocks
+X_RESIDENT_BUDGET_BYTES = 8 << 20
+
+
+def window_blocks_needed(plan: DiaPlan) -> int:
+    """J: sliding (S, 128) x blocks per step for the windowed kernel."""
+    S = plan.sublanes
+    max_rowq = max((_decompose(plan.pad_left, o)[0] for o in plan.offsets),
+                   default=0)
+    return -(-(max_rowq + S + 8) // S)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "resident"))
+def _spmv_dia(plan: DiaPlan, x: Array, interpret: bool = False,
+              resident: bool = True) -> Array:
     T, D, S, _ = plan.vals.shape
     rows, cols = plan.shape
-    xr = jnp.zeros((plan.x_rows * 128,), plan.vals.dtype)
+    if resident:
+        x_rows = plan.x_rows
+    else:
+        J = window_blocks_needed(plan)
+        x_rows = -(-max(plan.x_rows, (T + J - 1) * S) // S) * S
+    xr = jnp.zeros((x_rows * 128,), plan.vals.dtype)
     xr = xr.at[plan.pad_left:plan.pad_left + cols].set(
         jnp.asarray(x, plan.vals.dtype))
-    x2d = xr.reshape(plan.x_rows, 128)
-    kernel = _make_dia_kernel(plan.offsets, plan.pad_left, S,
-                              plan.vals.dtype)
+    x2d = xr.reshape(x_rows, 128)
+    if resident:
+        kernel = _make_dia_kernel(plan.offsets, plan.pad_left, S,
+                                  plan.vals.dtype)
+        x_specs = [pl.BlockSpec((x_rows, 128), lambda i: (0, 0))]
+        x_ops = [x2d]
+    else:
+        kernel = _make_dia_kernel_windowed(plan.offsets, plan.pad_left, S,
+                                           J, plan.vals.dtype)
+        x_specs = [pl.BlockSpec((S, 128), lambda i, j=j: (i + j, 0))
+                   for j in range(J)]
+        x_ops = [x2d] * J
     out = pl.pallas_call(
         kernel,
         grid=(T,),
-        in_specs=[
-            pl.BlockSpec((1, D, S, 128), lambda i: (i, 0, 0, 0)),
-            pl.BlockSpec((plan.x_rows, 128), lambda i: (0, 0)),
-        ],
+        in_specs=[pl.BlockSpec((1, D, S, 128), lambda i: (i, 0, 0, 0)),
+                  *x_specs],
         out_specs=pl.BlockSpec((1, S, 128), lambda i: (i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((T, S, 128), plan.vals.dtype),
         interpret=interpret,
-    )(plan.vals, x2d)
+    )(plan.vals, *x_ops)
     return out.reshape(-1)[:rows]
 
 
 def spmv_dia(plan: DiaPlan, x: Array, *,
-             interpret: Optional[bool] = None) -> Array:
-    """``y = A @ x`` from a prebuilt :class:`DiaPlan`."""
+             interpret: Optional[bool] = None,
+             resident: Optional[bool] = None) -> Array:
+    """``y = A @ x`` from a prebuilt :class:`DiaPlan`.
+
+    ``resident``: keep the whole x image in VMEM (fastest) vs stream
+    sliding x blocks (any matrix size); default decides by VMEM budget.
+    """
     if interpret is None:
         interpret = platform.use_interpret()
-    return _spmv_dia(plan, jnp.asarray(x), interpret=interpret)
+    if resident is None:
+        itemsize = jnp.dtype(plan.vals.dtype).itemsize
+        resident = plan.x_rows * 128 * itemsize <= X_RESIDENT_BUDGET_BYTES
+    return _spmv_dia(plan, jnp.asarray(x), interpret=interpret,
+                     resident=resident)

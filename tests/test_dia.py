@@ -241,3 +241,31 @@ def test_operator_matmat_dia(rng):
     y = np.asarray(op @ b)
     np.testing.assert_allclose(y, m.astype(np.float64) @ b,
                                rtol=2e-5, atol=2e-5)
+
+
+# ---------------------------------------------------------------------------
+# windowed-x DIA (x beyond the VMEM budget)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("offs", [[0], [-130, -1, 0, 3, 200], [-1025, 0, 1300]])
+def test_dia_windowed_matches_resident(rng, offs):
+    from spmv_vector_cache_tpu.ops.spmv_dia import window_blocks_needed
+    n = 3000
+    m = _banded(rng, n, offs)
+    a = convert.from_scipy(m)
+    p = diamod.build_dia_plan(a, sublanes=8).to_device()
+    assert window_blocks_needed(p) >= 2
+    x = rng.standard_normal(n).astype(np.float32)
+    yr = np.asarray(spmv_dia(p, x, resident=True))
+    yw = np.asarray(spmv_dia(p, x, resident=False))
+    np.testing.assert_array_equal(yr, yw)
+    np.testing.assert_allclose(yw, _want(a, x), rtol=2e-5, atol=2e-5)
+
+
+def test_auto_plan_dia_for_wide_matrix(rng):
+    """Banded structure keeps the DIA plan even when x exceeds VMEM."""
+    n = 1 << 21                                      # 8 MB x image > budget
+    m = sp.spdiags(np.ones((3, n), np.float32), [-1, 0, 1], n, n).tocsr()
+    m.sort_indices()
+    p = auto_plan(convert.from_scipy(m.astype(np.float32)))
+    assert isinstance(p, diamod.DiaPlan)
