@@ -116,6 +116,30 @@ def main():
         log(f"DIA format roofline {dia_roof/1e9:.1f} Gnnz/s -> "
             f"{100*gnnz*1e9/dia_roof:.1f}% of format speed-of-light")
 
+    # --- bf16 mixed-precision detail (2 B/nnz value stream) ----------------
+    if isinstance(plan, DiaPlan):
+        try:
+            from spmv_vector_cache_tpu.formats.dia import build_dia_plan
+            from spmv_vector_cache_tpu.ops.spmv_dia import spmv_dia
+            pb = build_dia_plan(a, value_dtype=jnp.bfloat16).to_device()
+            yb = np.asarray(spmv_dia(pb, x0, interpret=interpret))
+            errb = np.abs(yb - want).max() / max(1.0, np.abs(want).max())
+
+            def make_bf16(iters):
+                @jax.jit
+                def go(plan, x):
+                    def body(_, v):
+                        w = spmv_dia(plan, v, interpret=interpret)
+                        return w / jnp.maximum(jnp.linalg.norm(w), 1e-30)
+                    return jax.lax.fori_loop(0, iters, body, x)[:1]
+                return lambda: go(pb, x0)
+
+            dtb = roofline.time_marginal(make_bf16, i1=30, i2=90)
+            log(f"bf16 DIA (mixed precision, rel err {errb:.2g}): "
+                f"{dtb*1e3:.3f} ms/iter -> {nnz/dtb/1e9:.2f} Gnnz/s")
+        except Exception as e:  # noqa: BLE001 — detail only
+            log(f"bf16 detail run skipped: {e}")
+
     # --- general SELL window kernel on the same matrix (stderr detail) -----
     try:
         sell = auto_plan(a, allow_dia=False).to_device()

@@ -117,6 +117,48 @@ class SparseOperator:
             out_host = out_host + np.asarray(y)
         return out_host
 
+    def audit(self, x: Optional[Array] = None, *, iters: int = 20,
+              stream_bw: Optional[float] = None) -> dict:
+        """Achieved-vs-peak roofline audit with tunnel-free timing.
+
+        The TPU version of the reference's activeCycles/totalCycles +
+        bytes/cycle counters (``HardwareSpMVNewCache.cpp:183-187``,
+        ``TestSpMVBackend.cpp:100-102``): times a chained run with
+        two-point marginal timing, models the bytes one apply moves, and
+        records Gnnz/s, achieved GB/s, and (when ``stream_bw`` is given
+        or measured) the roofline fraction into ``self.stats``.
+        """
+        import jax
+
+        from ..utils import roofline
+        from .strategy import plan_bytes_per_apply, plan_nnz
+
+        rows, cols = self.plan.shape
+        if x is None:
+            x = np.ones(cols, np.float32)
+        x = jnp.asarray(x)
+        square = rows == cols
+
+        def make(n):
+            @jax.jit
+            def go(plan, v):
+                def body(_, u):
+                    w = spmv_plan(plan, u, strategy=self.strategy,
+                                  semiring=self.semiring)
+                    if square:
+                        return w / jnp.maximum(jnp.linalg.norm(w), 1e-30)
+                    # rectangular: keep the loop-carried dependency through
+                    # a negligible scalar so XLA cannot hoist the matvec
+                    return u * (1 + w.reshape(-1)[0] * 1e-30)
+                return jax.lax.fori_loop(0, n, body, v)[:1]
+            return lambda: go(self.plan, x)
+
+        dt = roofline.time_marginal(make, i1=iters, i2=3 * iters)
+        return roofline.audit(
+            self.stats, nnz=plan_nnz(self.plan), seconds=dt,
+            bytes_moved=plan_bytes_per_apply(self.plan, self.strategy),
+            stream_bw=stream_bw)
+
     # -- verification -----------------------------------------------------
     def compare_golden(self, x: Array, golden: Array,
                        rtol: float = 1e-4, atol: float = 1e-4) -> int:

@@ -122,28 +122,36 @@ def window_blocks_needed(plan: DiaPlan) -> int:
     return -(-(max_rowq + S + 8) // S)
 
 
+def _compute_dtype(vals_dtype):
+    """Accumulate bf16 value streams in f32 (mixed precision: the value
+    stream halves to 2 B/nnz, x and the accumulator stay full width)."""
+    if jnp.dtype(vals_dtype) == jnp.bfloat16:
+        return jnp.float32
+    return vals_dtype
+
+
 @functools.partial(jax.jit, static_argnames=("interpret", "resident"))
 def _spmv_dia(plan: DiaPlan, x: Array, interpret: bool = False,
               resident: bool = True) -> Array:
     T, D, S, _ = plan.vals.shape
     rows, cols = plan.shape
+    acc_dtype = _compute_dtype(plan.vals.dtype)
     if resident:
         x_rows = plan.x_rows
     else:
         J = window_blocks_needed(plan)
         x_rows = -(-max(plan.x_rows, (T + J - 1) * S) // S) * S
-    xr = jnp.zeros((x_rows * 128,), plan.vals.dtype)
+    xr = jnp.zeros((x_rows * 128,), acc_dtype)
     xr = xr.at[plan.pad_left:plan.pad_left + cols].set(
-        jnp.asarray(x, plan.vals.dtype))
+        jnp.asarray(x, acc_dtype))
     x2d = xr.reshape(x_rows, 128)
     if resident:
-        kernel = _make_dia_kernel(plan.offsets, plan.pad_left, S,
-                                  plan.vals.dtype)
+        kernel = _make_dia_kernel(plan.offsets, plan.pad_left, S, acc_dtype)
         x_specs = [pl.BlockSpec((x_rows, 128), lambda i: (0, 0))]
         x_ops = [x2d]
     else:
         kernel = _make_dia_kernel_windowed(plan.offsets, plan.pad_left, S,
-                                           J, plan.vals.dtype)
+                                           J, acc_dtype)
         x_specs = [pl.BlockSpec((S, 128), lambda i, j=j: (i + j, 0))
                    for j in range(J)]
         x_ops = [x2d] * J
@@ -153,7 +161,7 @@ def _spmv_dia(plan: DiaPlan, x: Array, interpret: bool = False,
         in_specs=[pl.BlockSpec((1, D, S, 128), lambda i: (i, 0, 0, 0)),
                   *x_specs],
         out_specs=pl.BlockSpec((1, S, 128), lambda i: (i, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((T, S, 128), plan.vals.dtype),
+        out_shape=jax.ShapeDtypeStruct((T, S, 128), acc_dtype),
         interpret=interpret,
     )(plan.vals, *x_ops)
     return out.reshape(-1)[:rows]

@@ -62,6 +62,34 @@ def plan_nnz(plan) -> int:
     return plan.stats.nnz
 
 
+def plan_bytes_per_apply(plan, strategy: str = "auto") -> int:
+    """HBM bytes one SpMV moves — the denominator of the achieved-vs-peak
+    audit (the reference's bytes/cycle formula, TestSpMVBackend.cpp:100).
+    Counts the streamed plan arrays, the dense vector, and the result."""
+    import numpy as np
+
+    from ..formats.dia import DiaPlan, HybridPlan
+
+    if isinstance(plan, HybridPlan):
+        return (plan_bytes_per_apply(plan.dia) +
+                plan_bytes_per_apply(plan.rest, strategy))
+    itemsize = np.dtype(plan.vals.dtype).itemsize
+    rows, cols = plan.shape
+    vec = (rows + cols) * itemsize
+    if isinstance(plan, DiaPlan):
+        return int(np.prod(plan.vals.shape)) * itemsize + vec
+    T, P, R = plan.vals.shape
+    vals_b = T * P * R * itemsize
+    if strategy == "auto":
+        strategy = select_strategy(plan)
+    if strategy == "window":
+        idx_b = T * P * R * 2                    # int16 in-window offsets
+    else:
+        idx_b = T * P * R * 4 * 3                # cols + gathered x (r+w)
+    partials_b = T * R * itemsize * 2            # kernel write + fold read
+    return vals_b + idx_b + partials_b + vec
+
+
 def _time_device(fn, *args, iters: int = 10) -> float:
     """Wall-time with device sync through a host read of the result.
 

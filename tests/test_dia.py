@@ -269,3 +269,20 @@ def test_auto_plan_dia_for_wide_matrix(rng):
     m.sort_indices()
     p = auto_plan(convert.from_scipy(m.astype(np.float32)))
     assert isinstance(p, diamod.DiaPlan)
+
+
+def test_dia_bfloat16_mixed_precision(rng):
+    """bf16 value stream (2 B/nnz) with f32 x and accumulation."""
+    import jax.numpy as jnp
+    n = 2000
+    m = _banded(rng, n, [-2, -1, 0, 1, 2])
+    a = convert.from_scipy(m)
+    p = diamod.build_dia_plan(a, sublanes=8,
+                              value_dtype=jnp.bfloat16).to_device()
+    assert np.dtype(np.asarray(p.vals).dtype).itemsize == 2
+    x = rng.standard_normal(n).astype(np.float32)
+    y = np.asarray(spmv_dia(p, x))
+    assert y.dtype == np.float32
+    want = m.astype(np.float64) @ x
+    rel = np.abs(y - want).max() / np.abs(want).max()
+    assert rel < 2e-2                                  # bf16 value rounding

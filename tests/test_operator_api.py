@@ -103,3 +103,15 @@ def test_int32_device_kernel_exact(rng):
     y = np.asarray(spmv_plan(p.to_device(), x, strategy="stream"))
     want = reference.spmv_numpy(ai, x.astype(np.int64))
     np.testing.assert_array_equal(y.astype(np.int64), want)
+
+
+def test_operator_audit(rng):
+    a = random_csr(rng, 256, 256, density=0.05)
+    op = SparseOperator.from_matrix(a)
+    out = op.audit(iters=2)
+    assert out["gnnz_per_s"] > 0
+    assert out["achieved_gb_per_s"] > 0
+    assert "seconds" in op.stats.keys()
+    # roofline fraction recorded when a peak is supplied
+    out2 = op.audit(iters=2, stream_bw=1e12)
+    assert 0 < out2["roofline_fraction"] < 1
