@@ -106,7 +106,7 @@ def main():
             return jax.lax.fori_loop(0, iters, body, x)[:1]
         return lambda: go(pd, x0)
 
-    dt = roofline.time_marginal(make_chain, i1=30, i2=90)
+    dt = roofline.time_marginal(make_chain, i1=50, i2=250)
     gnnz = nnz / dt / 1e9
     frac = gnnz * 1e9 / roof
     log(f"spmv: {dt*1e3:.3f} ms/iter -> {gnnz:.2f} Gnnz/s "
@@ -134,7 +134,7 @@ def main():
                     return jax.lax.fori_loop(0, iters, body, x)[:1]
                 return lambda: go(pb, x0)
 
-            dtb = roofline.time_marginal(make_bf16, i1=30, i2=90)
+            dtb = roofline.time_marginal(make_bf16, i1=50, i2=350)
             log(f"bf16 DIA (mixed precision, rel err {errb:.2g}): "
                 f"{dtb*1e3:.3f} ms/iter -> {nnz/dtb/1e9:.2f} Gnnz/s")
         except Exception as e:  # noqa: BLE001 — detail only
@@ -154,7 +154,7 @@ def main():
                 return jax.lax.fori_loop(0, iters, body, x)[:1]
             return lambda: go(sell, x0)
 
-        dts = roofline.time_marginal(make_sell, i1=10, i2=30)
+        dts = roofline.time_marginal(make_sell, i1=20, i2=80)
         log(f"SELL window kernel (general path): {dts*1e3:.3f} ms/iter -> "
             f"{nnz/dts/1e9:.2f} Gnnz/s")
     except Exception as e:  # noqa: BLE001 — detail only, never the headline

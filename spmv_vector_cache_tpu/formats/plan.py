@@ -146,13 +146,30 @@ class SellPlan:
 
 
 def _as_csr(a) -> CSR:
-    if isinstance(a, CSR):
-        return a
     if isinstance(a, CSC):
-        return csc_to_csr(a)
-    if isinstance(a, COO):
-        return coo_to_csr(a)
-    raise TypeError(f"cannot plan over {type(a)}")
+        a = csc_to_csr(a)
+    elif isinstance(a, COO):
+        a = coo_to_csr(a)
+    elif not isinstance(a, CSR):
+        raise TypeError(f"cannot plan over {type(a)}")
+    return _ensure_sorted(a)
+
+
+def _ensure_sorted(a: CSR) -> CSR:
+    """Planning (striping, window spans, DIA detection) assumes
+    column-sorted rows; sort lazily when a hand-built CSR is not."""
+    indices = np.asarray(a.indices)
+    if indices.size < 2:
+        return a
+    indptr = np.asarray(a.indptr, dtype=np.int64)
+    decreasing = np.flatnonzero(np.diff(indices.astype(np.int64)) < 0) + 1
+    if decreasing.size == 0 or np.all(np.isin(decreasing, indptr)):
+        return a
+    rows = np.repeat(np.arange(a.shape[0], dtype=np.int64),
+                     np.diff(indptr))
+    order = np.lexsort((indices, rows))
+    return CSR(data=np.asarray(a.data)[order], indices=indices[order],
+               indptr=a.indptr, shape=a.shape)
 
 
 def _cdiv(a, b):

@@ -201,3 +201,22 @@ def test_validate_plan_rejects_corruption(rng):
         p, tile_slice=np.asarray(p.tile_slice)[::-1].copy())
     with pytest.raises(ValueError, match="nondecreasing"):
         planmod.validate_plan(bad2)
+
+
+def test_unsorted_csr_is_sorted_before_planning(rng):
+    """Hand-built CSR with unsorted rows plans correctly (lazy sort)."""
+    from spmv_vector_cache_tpu.formats.containers import CSR
+    a = random_csr(rng, 200, 200, density=0.05)
+    indptr = np.asarray(a.indptr)
+    idx = np.asarray(a.indices).copy()
+    dat = np.asarray(a.data).copy()
+    # reverse each row's entries
+    for i in range(200):
+        s, e = indptr[i], indptr[i + 1]
+        idx[s:e] = idx[s:e][::-1]
+        dat[s:e] = dat[s:e][::-1]
+    shuffled = CSR(data=dat, indices=idx, indptr=a.indptr, shape=a.shape)
+    p = planmod.build_sell_plan(shuffled)
+    x = rng.standard_normal(200).astype(np.float32)
+    y = np.asarray(spmv_pallas.spmv_plan(p.to_device(), x, strategy="window"))
+    np.testing.assert_allclose(y, _want(a, x), rtol=2e-5, atol=2e-5)
