@@ -60,6 +60,16 @@ STRATEGIES = ("window", "stream")
 # reductions shared by both strategies
 # ---------------------------------------------------------------------------
 
+def _compute_dtype(vals_dtype):
+    """Mixed precision: bf16 value streams gather/accumulate in f32 (the
+    value channel halves to 2 B/nnz; with int16 in-window offsets the
+    whole nonzero stream is 4 B/nnz — the same discipline as the DIA
+    kernel's bf16 path, ``spmv_dia._compute_dtype``)."""
+    if jnp.dtype(vals_dtype) == jnp.bfloat16:
+        return jnp.float32
+    return jnp.dtype(vals_dtype)
+
+
 def _reduce_partials(plan: SellPlan, partials: Array,
                      semiring: str = "plus_times") -> Array:
     """(T, R) per-tile partials -> y: slice fold + sub-row fixup, both
@@ -89,7 +99,7 @@ X_RESIDENT_BUDGET_BYTES = 8 << 20
 
 
 def _group_accumulate(K: int, WG: int, P: int, R: int, vg, cw, get_xb,
-                      semiring: str = "plus_times"):
+                      semiring: str = "plus_times", acc_dtype=None):
     """Multiply-gather one window group: vals (WG,P,R) x in-window offsets
     (WG,P,R) against a K*128-wide x window served block-wise by
     ``get_xb(b)`` ((1, 128) block b of the window).
@@ -106,6 +116,8 @@ def _group_accumulate(K: int, WG: int, P: int, R: int, vg, cw, get_xb,
     from . import semiring as sr
 
     mul, axis_reduce = sr.kernel_ops(semiring)
+    if acc_dtype is not None and vg.dtype != acc_dtype:
+        vg = vg.astype(acc_dtype)                        # bf16 -> f32
     bucket = jax.lax.shift_right_logical(cw, 7)          # (WG, P, R)
     idx = jnp.bitwise_and(cw, 127).reshape(WG * P, R)
     gat = None
@@ -119,7 +131,8 @@ def _group_accumulate(K: int, WG: int, P: int, R: int, vg, cw, get_xb,
 
 
 def _make_window_kernel_resident(K: int, NG: int, P: int, R: int, WG: int,
-                                 semiring: str = "plus_times"):
+                                 semiring: str = "plus_times",
+                                 acc_dtype=None):
     """Window kernel with x fully VMEM-resident: each 4-tile group slices
     its K x 128 window out of the resident copy at a 128-aligned dynamic
     offset — no per-step x DMAs (probe-measured ~35% faster than
@@ -140,7 +153,7 @@ def _make_window_kernel_resident(K: int, NG: int, P: int, R: int, WG: int,
                 return x_ref[0:1, pl.ds(start, 128)]
             return _group_accumulate(
                 K, WG, P, R, v[g * WG:(g + 1) * WG],
-                cw[g * WG:(g + 1) * WG], get_xb, semiring)
+                cw[g * WG:(g + 1) * WG], get_xb, semiring, acc_dtype)
 
         for w in range(NG // PAIR):
             parts = [group(w * PAIR + j) for j in range(PAIR)]
@@ -150,7 +163,7 @@ def _make_window_kernel_resident(K: int, NG: int, P: int, R: int, WG: int,
 
 
 def _make_window_kernel(K: int, NG: int, P: int, R: int, WG: int,
-                        semiring: str = "plus_times"):
+                        semiring: str = "plus_times", acc_dtype=None):
     """Kernel over one grid step = NG groups of WG=4 tiles; group g
     gathers from its own K x 128 window (x_refs[g*K + b])."""
     PAIR = TILES_PER_STEP // WG
@@ -164,7 +177,7 @@ def _make_window_kernel(K: int, NG: int, P: int, R: int, WG: int,
             return _group_accumulate(
                 K, WG, P, R, v[g * WG:(g + 1) * WG],
                 cw[g * WG:(g + 1) * WG],
-                lambda b, g=g: x_refs[g * K + b][...], semiring)
+                lambda b, g=g: x_refs[g * K + b][...], semiring, acc_dtype)
 
         for w in range(NG // PAIR):
             parts = [group(w * PAIR + j) for j in range(PAIR)]
@@ -186,9 +199,10 @@ def _spmv_window(plan: SellPlan, x: Array, interpret: bool = False,
             "(stats.window_blocks == 0); rebuild with stripe_width or use "
             "the 'stream' strategy")
     # pad x so blocks wb .. wb+K-1 always exist
+    acc_dtype = _compute_dtype(plan.vals.dtype)
     nblocks = max(-(-plan.shape[1] // 128), plan.stats.max_window_base + K)
-    xp = jnp.zeros((1, nblocks * 128), plan.vals.dtype)
-    xp = xp.at[0, :plan.shape[1]].set(jnp.asarray(x, plan.vals.dtype))
+    xp = jnp.zeros((1, nblocks * 128), acc_dtype)
+    xp = xp.at[0, :plan.shape[1]].set(jnp.asarray(x, acc_dtype))
 
     WG = WINDOW_GROUP_TILES
     NG = (B * G) // WG                        # 4-tile window groups per step
@@ -206,7 +220,8 @@ def _spmv_window(plan: SellPlan, x: Array, interpret: bool = False,
             ],
             out_specs=pl.BlockSpec((B * G, R), lambda i, wb: (i, 0)),
         )
-        kernel = _make_window_kernel_resident(K, NG, P, R, WG, semiring)
+        kernel = _make_window_kernel_resident(K, NG, P, R, WG, semiring,
+                                              acc_dtype)
         operands = (plan.window_base, plan.vals, plan.cols_win, xp)
     else:
         x_specs = [
@@ -224,13 +239,13 @@ def _spmv_window(plan: SellPlan, x: Array, interpret: bool = False,
             ],
             out_specs=pl.BlockSpec((B * G, R), lambda i, wb: (i, 0)),
         )
-        kernel = _make_window_kernel(K, NG, P, R, WG, semiring)
+        kernel = _make_window_kernel(K, NG, P, R, WG, semiring, acc_dtype)
         operands = (plan.window_base, plan.vals, plan.cols_win,
                     *([xp] * (NG * K)))
     partials = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((T, R), plan.vals.dtype),
+        out_shape=jax.ShapeDtypeStruct((T, R), acc_dtype),
         interpret=interpret,
     )(*operands)
     return _reduce_partials(plan, partials, semiring)
@@ -240,13 +255,16 @@ def _spmv_window(plan: SellPlan, x: Array, interpret: bool = False,
 # stream strategy
 # ---------------------------------------------------------------------------
 
-def _make_stream_kernel(semiring: str):
+def _make_stream_kernel(semiring: str, acc_dtype=None):
     from . import semiring as sr
 
     mul, axis_reduce = sr.kernel_ops(semiring)
 
     def kernel(vals_ref, xg_ref, out_ref):
-        out_ref[...] = axis_reduce(mul(vals_ref[...], xg_ref[...]), 1)
+        v = vals_ref[...]
+        if acc_dtype is not None and v.dtype != acc_dtype:
+            v = v.astype(acc_dtype)
+        out_ref[...] = axis_reduce(mul(v, xg_ref[...]), 1)
     return kernel
 
 
@@ -255,16 +273,17 @@ def _spmv_stream(plan: SellPlan, x: Array, interpret: bool = False,
                  semiring: str = "plus_times") -> Array:
     T, P, R = plan.vals.shape
     B = TILES_PER_STEP * plan.stats.groups_per_step
-    xg = jnp.take(jnp.asarray(x, plan.vals.dtype), plan.cols, axis=0)
+    acc_dtype = _compute_dtype(plan.vals.dtype)
+    xg = jnp.take(jnp.asarray(x, acc_dtype), plan.cols, axis=0)
     partials = pl.pallas_call(
-        _make_stream_kernel(semiring),
+        _make_stream_kernel(semiring, acc_dtype),
         grid=(T // B,),
         in_specs=[
             pl.BlockSpec((B, P, R), lambda i: (i, 0, 0)),
             pl.BlockSpec((B, P, R), lambda i: (i, 0, 0)),
         ],
         out_specs=pl.BlockSpec((B, R), lambda i: (i, 0)),
-        out_shape=jax.ShapeDtypeStruct((T, R), plan.vals.dtype),
+        out_shape=jax.ShapeDtypeStruct((T, R), acc_dtype),
         interpret=interpret,
     )(plan.vals, xg)
     return _reduce_partials(plan, partials, semiring)

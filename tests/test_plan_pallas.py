@@ -220,3 +220,21 @@ def test_unsorted_csr_is_sorted_before_planning(rng):
     x = rng.standard_normal(200).astype(np.float32)
     y = np.asarray(spmv_pallas.spmv_plan(p.to_device(), x, strategy="window"))
     np.testing.assert_allclose(y, _want(a, x), rtol=2e-5, atol=2e-5)
+
+
+def test_bfloat16_mixed_precision_sell(rng):
+    """bf16 value stream in the SELL kernels: with int16 in-window offsets
+    the whole nonzero stream is 4 B/nnz; x and the accumulator stay f32
+    (mirrors the DIA kernel's bf16 discipline)."""
+    import jax.numpy as jnp
+
+    a = random_csr(rng, 700, 400, density=0.03)
+    x = rng.standard_normal(400).astype(np.float32)
+    want = _want(a, x)
+    for strat in ("window", "stream"):
+        p = planmod.build_sell_plan(a, value_dtype=jnp.bfloat16).to_device()
+        y = np.asarray(spmv_pallas.spmv_plan(p, x, strategy=strat,
+                                             interpret=True))
+        assert y.dtype == np.float32                   # f32 accumulation
+        rel = np.abs(y - want).max() / max(1.0, np.abs(want).max())
+        assert rel < 2e-2                              # bf16 value rounding
