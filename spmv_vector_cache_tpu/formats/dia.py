@@ -213,24 +213,29 @@ class DiaPlan:
     flashing a variant-specific bitfile per matrix class.
     """
 
-    vals: Array                       # (T, D, S, 128)
+    vals: Array                       # (T, D, S, 128); (T, 2D, S, 128) df64
     offsets: Tuple[int, ...]          # static, increasing
     shape: Tuple[int, int]
     sublanes: int                     # S
     pad_left: int                     # flat x left pad (multiple of 128)
     x_rows: int                       # padded x image height
     stats: DiaStats
+    #: double-float layout: vals channels [0:D] hold f32 value highs and
+    #: [D:2D] the f32 lows (hi + lo == the f64 value) — the TPU-native form
+    #: of the reference's 64-bit SpMVData (see ops/df64.py)
+    double: bool = False
 
     def tree_flatten(self):
         return (self.vals,), (self.offsets, self.shape, self.sublanes,
-                              self.pad_left, self.x_rows, self.stats)
+                              self.pad_left, self.x_rows, self.stats,
+                              self.double)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        offsets, shape, sublanes, pad_left, x_rows, stats = aux
+        offsets, shape, sublanes, pad_left, x_rows, stats, double = aux
         return cls(vals=children[0], offsets=offsets, shape=shape,
                    sublanes=sublanes, pad_left=pad_left, x_rows=x_rows,
-                   stats=stats)
+                   stats=stats, double=double)
 
     @property
     def num_steps(self) -> int:
@@ -242,7 +247,14 @@ class DiaPlan:
 
 def build_dia_plan(a, *, sublanes: int = DIA_SUBLANES,
                    value_dtype=np.float32) -> DiaPlan:
-    """Build the (T, D, S, 128) tile plan from a DIA/CSR/CSC/COO container."""
+    """Build the (T, D, S, 128) tile plan from a DIA/CSR/CSC/COO container.
+
+    ``value_dtype=np.float64`` builds a **double-float** plan: values are
+    stored as (hi, lo) f32 pairs stacked along the diagonal axis and the
+    kernel computes with f64-equivalent (~2^-48) accuracy using error-free
+    transformations (``ops/df64.py``) — precision parity with the
+    reference's double-precision datapath at 8 B/nnz.
+    """
     if not isinstance(a, DIA):
         if isinstance(a, (CSC, COO)):
             from .convert import coo_to_csr, csc_to_csr
@@ -255,10 +267,19 @@ def build_dia_plan(a, *, sublanes: int = DIA_SUBLANES,
     D = len(offsets)
     nr = rows + ((-rows) % RS)
     T = nr // RS
-    vd = np.zeros((D, nr), value_dtype)
-    vd[:, :rows] = np.asarray(a.data, value_dtype)
+    double = np.dtype(value_dtype) == np.float64
+    if double:
+        from ..ops.df64 import split_f64
+        vd = np.zeros((D, nr), np.float64)
+        vd[:, :rows] = np.asarray(a.data, np.float64)
+        hi, lo = split_f64(vd)
+        store = np.concatenate([hi, lo], axis=0)       # (2D, nr) f32
+    else:
+        vd = np.zeros((D, nr), value_dtype)
+        vd[:, :rows] = np.asarray(a.data, value_dtype)
+        store = vd
     vals = np.ascontiguousarray(
-        vd.reshape(D, T, S, 128).transpose(1, 0, 2, 3))
+        store.reshape(store.shape[0], T, S, 128).transpose(1, 0, 2, 3))
 
     omin = min(offsets) if offsets else 0
     omax = max(offsets) if offsets else 0
@@ -270,14 +291,16 @@ def build_dia_plan(a, *, sublanes: int = DIA_SUBLANES,
     x_rows = max(x_rows, (pad_left + cols + 127) // 128)
 
     nnz = int((vd != 0).sum())
+    streamed = store.shape[0] * nr * 4 if double else \
+        D * nr * np.dtype(value_dtype).itemsize
     stats = DiaStats(
         nnz=nnz, ndiag=D, num_steps=T,
         fill=float(nnz) / float(D * nr) if D else 0.0,
-        bytes_per_nnz=(D * nr * np.dtype(value_dtype).itemsize / nnz
-                       if nnz else 0.0),
+        bytes_per_nnz=streamed / nnz if nnz else 0.0,
         x_rows=x_rows)
     return DiaPlan(vals=vals, offsets=offsets, shape=(rows, cols),
-                   sublanes=S, pad_left=pad_left, x_rows=x_rows, stats=stats)
+                   sublanes=S, pad_left=pad_left, x_rows=x_rows, stats=stats,
+                   double=double)
 
 
 @jax.tree_util.register_pytree_node_class

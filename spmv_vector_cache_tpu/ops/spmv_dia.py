@@ -110,6 +110,90 @@ def _make_dia_kernel_windowed(offsets, pad_left: int, S: int, J: int,
     return kernel
 
 
+def _make_dia_kernel_df(offsets, pad_left: int, S: int, D: int):
+    """Double-float (f64-equivalent) resident-x kernel: values arrive as
+    (hi, lo) f32 channel pairs (vals[:, :D] / vals[:, D:]), x as hi/lo
+    images; products and the accumulator use error-free transformations
+    (``ops/df64.py``) so the result carries ~2^-48 relative error —
+    precision parity with the reference's double-precision datapath
+    (``SemiringOp.scala:98-154``) on f32-only TPU vector hardware."""
+    from . import df64
+
+    dec = [_decompose(pad_left, o) for o in offsets]
+
+    def kernel(v_ref, xh_ref, xl_ref, oh_ref, ol_ref):
+        i = pl.program_id(0)
+        acc_h = jnp.zeros((S, 128), jnp.float32)
+        acc_l = jnp.zeros((S, 128), jnp.float32)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (S, 128), 1)
+        for k, (row_q, q, s) in enumerate(dec):
+            base = pl.multiple_of(i * S + row_q, 8)
+            wh = xh_ref[pl.ds(base, S + 8), :]
+            wl = xl_ref[pl.ds(base, S + 8), :]
+            xh = _shift_lanes(wh[q:q + S + 1], s, S, lane)
+            xl = _shift_lanes(wl[q:q + S + 1], s, S, lane)
+            vh = v_ref[0, k]
+            vl = v_ref[0, D + k]
+            ph, pe = df64.two_prod(vh, xh)
+            pe = pe + (vh * xl + vl * xh)
+            ph, pe = df64.quick_two_sum(ph, pe)
+            acc_h, acc_l = df64.add(acc_h, acc_l, ph, pe)
+        oh_ref[0] = acc_h
+        ol_ref[0] = acc_l
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def spmv_dia_df(plan: DiaPlan, xh: Array, xl: Array,
+                interpret: bool = False):
+    """df64 SpMV from a double DiaPlan: (xh, xl) f32 pair in, (yh, yl)
+    f32 pair out — jit-composable; use :func:`spmv_dia_double` for the
+    float64-in/float64-out host convenience wrapper."""
+    T, D2, S, _ = plan.vals.shape
+    D = D2 // 2
+    rows, cols = plan.shape
+    x_rows = plan.x_rows
+
+    def image(v):
+        flat = jnp.zeros((x_rows * 128,), jnp.float32)
+        flat = flat.at[plan.pad_left:plan.pad_left + cols].set(
+            jnp.asarray(v, jnp.float32))
+        return flat.reshape(x_rows, 128)
+
+    kernel = _make_dia_kernel_df(plan.offsets, plan.pad_left, S, D)
+    out_sds = jax.ShapeDtypeStruct((T, S, 128), jnp.float32)
+    yh, yl = pl.pallas_call(
+        kernel,
+        grid=(T,),
+        in_specs=[pl.BlockSpec((1, D2, S, 128), lambda i: (i, 0, 0, 0)),
+                  pl.BlockSpec((x_rows, 128), lambda i: (0, 0)),
+                  pl.BlockSpec((x_rows, 128), lambda i: (0, 0))],
+        out_specs=[pl.BlockSpec((1, S, 128), lambda i: (i, 0, 0)),
+                   pl.BlockSpec((1, S, 128), lambda i: (i, 0, 0))],
+        out_shape=[out_sds, out_sds],
+        interpret=interpret,
+    )(plan.vals, image(xh), image(xl))
+    return yh.reshape(-1)[:rows], yl.reshape(-1)[:rows]
+
+
+def spmv_dia_double(plan: DiaPlan, x, *,
+                    interpret: Optional[bool] = None):
+    """``y = A @ x`` in f64-equivalent precision: float64 x in, float64 y
+    out (computed on TPU as hi/lo f32 pairs, joined on the host)."""
+    import numpy as np
+
+    from . import df64
+
+    if not plan.double:
+        raise ValueError("plan was not built with value_dtype=np.float64")
+    if interpret is None:
+        interpret = platform.use_interpret()
+    xh, xl = df64.split_f64(x)
+    yh, yl = spmv_dia_df(plan, xh, xl, interpret=interpret)
+    return df64.join_f64(np.asarray(yh), np.asarray(yl))
+
+
 #: resident x image budget: larger images stream as sliding blocks
 X_RESIDENT_BUDGET_BYTES = 8 << 20
 
@@ -175,6 +259,10 @@ def spmv_dia(plan: DiaPlan, x: Array, *,
     ``resident``: keep the whole x image in VMEM (fastest) vs stream
     sliding x blocks (any matrix size); default decides by VMEM budget.
     """
+    if plan.double:
+        raise ValueError("double-float plan: use spmv_dia_double (f64 "
+                         "host API) or spmv_dia_df (hi/lo pair, "
+                         "jit-composable)")
     if interpret is None:
         interpret = platform.use_interpret()
     if resident is None:
