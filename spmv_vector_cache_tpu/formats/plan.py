@@ -474,6 +474,15 @@ def auto_plan(a, *, value_dtype=np.float32, max_window_blocks: int = 16,
 
     s = sr.get(semiring)
     csr = _as_csr(a)
+    if s.requires_nonnegative and csr.nnz:
+        vmin = np.asarray(csr.data).min()
+        if vmin < 0:
+            raise ValueError(
+                f"semiring {s.name!r} is only a semiring on the "
+                f"non-negative domain (its zero={s.zero} must annihilate "
+                f"under mul), but the matrix has a negative value "
+                f"({vmin}); padding slots would out-reduce true negative "
+                f"products.  x must be non-negative too.")
     # the DIA container encodes absence as 0, which is only the additive
     # identity of plus-times; other semirings run the SELL path with
     # padding set to their own zero

@@ -137,6 +137,56 @@ void spmv_csr_to_csc_f64(uint32_t rows, uint32_t cols, uint32_t nnz,
 
 /* --- memory + timing ----------------------------------------------------- */
 
+int spmv_ilu0_f64(uint32_t rows, const spmv_index_t *indptr,
+                  const spmv_index_t *inds, double *data) {
+  /* In-place IKJ Doolittle ILU(0) on the CSR pattern (columns must be
+   * sorted per row).  The sorted-merge inner update replaces the Python
+   * prototype's per-row dict lookups; this is the "factor once on the
+   * host, solve many on device" half of the preconditioner path
+   * (BASELINE config 4), the same host/accelerator split the reference
+   * uses for its preprocessing analyses (SparseMatrix.cpp:52-119).
+   * Returns 0; (i+1) if row i lacks a diagonal; -(k+1) on zero pivot. */
+  std::vector<spmv_index_t> diag(rows);
+  for (uint32_t i = 0; i < rows; ++i) {
+    spmv_index_t lo = indptr[i], hi = indptr[i + 1];
+    /* binary search for the diagonal entry */
+    while (lo < hi) {
+      spmv_index_t mid = lo + (hi - lo) / 2;
+      if ((inds[mid] & kIndexMask) < i) lo = mid + 1; else hi = mid;
+    }
+    if (lo >= indptr[i + 1] || (inds[lo] & kIndexMask) != i)
+      return static_cast<int>(i) + 1;
+    diag[i] = lo;
+  }
+  for (uint32_t i = 0; i < rows; ++i) {
+    for (spmv_index_t e = indptr[i]; e < diag[i]; ++e) {
+      const spmv_index_t k = inds[e] & kIndexMask;
+      const double pivot = data[diag[k]];
+      if (pivot == 0.0) return -(static_cast<int>(k) + 1);
+      const double lik = data[e] / pivot;
+      data[e] = lik;
+      /* row_i[j] -= lik * row_k[j] over the shared pattern, j > k:
+       * two-pointer merge of the sorted column lists */
+      spmv_index_t f = diag[k] + 1;            /* row k, cols > k   */
+      spmv_index_t g = e + 1;                  /* row i, cols > k   */
+      const spmv_index_t fend = indptr[k + 1], gend = indptr[i + 1];
+      while (f < fend && g < gend) {
+        const spmv_index_t cf = inds[f] & kIndexMask;
+        const spmv_index_t cg = inds[g] & kIndexMask;
+        if (cf == cg) {
+          data[g] -= lik * data[f];
+          ++f; ++g;
+        } else if (cf < cg) {
+          ++f;
+        } else {
+          ++g;
+        }
+      }
+    }
+  }
+  return 0;
+}
+
 void *spmv_malloc_aligned(size_t bytes, size_t align) {
   /* burst-aligned allocation (malloc_aligned.c:6-58 role; the reference
    * hand-rolls book-keeping, POSIX gives it to us directly) */

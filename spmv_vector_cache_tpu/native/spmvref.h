@@ -73,6 +73,13 @@ void spmv_csr_to_csc_f64(uint32_t rows, uint32_t cols, uint32_t nnz,
                          spmv_index_t *col_ptr, spmv_index_t *row_ind,
                          double *b);
 
+/* --- factorization -------------------------------------------------------
+ * In-place ILU(0) on the CSR pattern (sorted columns). Returns 0 on
+ * success, i+1 if row i lacks a diagonal entry, -(k+1) on zero pivot.
+ */
+int spmv_ilu0_f64(uint32_t rows, const spmv_index_t *indptr,
+                  const spmv_index_t *inds, double *data);
+
 /* --- memory + timing ---------------------------------------------------- */
 
 void *spmv_malloc_aligned(size_t bytes, size_t align); /* 64B default role */

@@ -75,6 +75,8 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.spmv_max_col_span.restype = u32
     lib.spmv_csr_to_csc_f64.argtypes = [u32, u32, u32, pu32, pu32, pf64,
                                         pu32, pu32, pf64]
+    lib.spmv_ilu0_f64.argtypes = [u32, pu32, pu32, pf64]
+    lib.spmv_ilu0_f64.restype = ctypes.c_int
     lib.spmv_time_seconds.restype = f64
     _lib = lib
     return lib
@@ -156,3 +158,19 @@ def csr_to_csc(a):
                             data, col_ptr, row_ind, b)
     return CSC(data=b, indices=row_ind.astype(np.int32),
                indptr=col_ptr.astype(np.int32), shape=a.shape)
+
+
+def ilu0_inplace(indptr, indices, data: np.ndarray) -> np.ndarray:
+    """Native ILU(0): factor CSR values in place on A's pattern.
+
+    Returns the factored value array (L strictly-lower entries hold the
+    multipliers, diagonal+upper hold U).  Raises on structural problems.
+    """
+    lib = _require()
+    out = np.ascontiguousarray(np.asarray(data), dtype=np.float64).copy()
+    rc = lib.spmv_ilu0_f64(len(indptr) - 1, _u32(indptr), _u32(indices), out)
+    if rc > 0:
+        raise ValueError(f"ILU(0): missing diagonal in row {rc - 1}")
+    if rc < 0:
+        raise ZeroDivisionError(f"ILU(0): zero pivot at row {-rc - 1}")
+    return out

@@ -35,6 +35,14 @@ class Semiring:
     mul: Callable[[Array, Array], Array]
     zero: float
     mxu_capable: bool = False  # (mul, add) == (*, +): reductions may use matmul
+    #: the algebra is only a semiring on the non-negative reals: its
+    #: ``zero`` must annihilate under ``mul`` (zero * x == zero), which for
+    #: max-times (zero=0, mul=*) holds only when x >= 0 — a negative
+    #: operand would make padding slots contribute 0 > the true max.
+    #: Plan builders reject negative matrix values for such semirings;
+    #: the x vector must satisfy the same domain restriction (not
+    #: checkable on device without a sync — documented contract).
+    requires_nonnegative: bool = False
 
     def segment_reduce(self, values: Array, segment_ids: Array,
                        num_segments: int,
@@ -88,9 +96,11 @@ PLUS_TIMES = Semiring("plus_times", add=jnp.add, mul=jnp.multiply, zero=0.0,
 # tropical semirings: shortest/longest path relaxations (APSP building block)
 MIN_PLUS = Semiring("min_plus", add=jnp.minimum, mul=jnp.add, zero=jnp.inf)
 MAX_PLUS = Semiring("max_plus", add=jnp.maximum, mul=jnp.add, zero=-jnp.inf)
-MAX_TIMES = Semiring("max_times", add=jnp.maximum, mul=jnp.multiply, zero=0.0)
+MAX_TIMES = Semiring("max_times", add=jnp.maximum, mul=jnp.multiply, zero=0.0,
+                     requires_nonnegative=True)
 # boolean semiring: reachability / graph pattern matching
-OR_AND = Semiring("or_and", add=jnp.logical_or, mul=jnp.logical_and, zero=0.0)
+OR_AND = Semiring("or_and", add=jnp.logical_or, mul=jnp.logical_and, zero=0.0,
+                  requires_nonnegative=True)
 
 REGISTRY = {s.name: s for s in
             (PLUS_TIMES, MIN_PLUS, MAX_PLUS, MAX_TIMES, OR_AND)}

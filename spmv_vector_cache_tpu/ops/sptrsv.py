@@ -157,6 +157,53 @@ def trisolve(plan: TriSolvePlan, b: Array) -> Array:
 # ILU(0)
 # ---------------------------------------------------------------------------
 
+def _ilu0_values(a: CSR) -> np.ndarray:
+    """Factored CSR value array on A's pattern (native C++ when available,
+    vectorized-numpy Doolittle otherwise; both require sorted columns)."""
+    from .. import native_lib
+
+    if native_lib.available():
+        return native_lib.ilu0_inplace(a.indptr, a.indices, a.data)
+
+    n = a.shape[0]
+    indptr = np.asarray(a.indptr, dtype=np.int64)
+    cols = np.asarray(a.indices, dtype=np.int64)
+    data = np.asarray(a.data, dtype=np.float64).copy()
+
+    # diagonal position per row (cols are sorted within each row)
+    diag_idx = indptr[:-1] + np.array(
+        [np.searchsorted(cols[indptr[i]:indptr[i + 1]], i)
+         for i in range(n)], dtype=np.int64)
+    bad = (diag_idx >= indptr[1:]) | (cols[np.minimum(
+        diag_idx, cols.shape[0] - 1)] != np.arange(n))
+    if bad.any():
+        raise ValueError(
+            f"ILU(0): missing diagonal in row {int(np.flatnonzero(bad)[0])}")
+
+    for i in range(n):
+        row_lo, row_hi = indptr[i], indptr[i + 1]
+        for e in range(row_lo, diag_idx[i]):
+            k = cols[e]
+            pivot = data[diag_idx[k]]
+            if pivot == 0:
+                raise ZeroDivisionError(f"ILU(0): zero pivot at row {k}")
+            lik = data[e] / pivot
+            data[e] = lik
+            # row_i[j] -= lik * row_k[j] on the shared pattern, j > k:
+            # vectorized intersect of the two sorted column slices
+            f0, f1 = diag_idx[k] + 1, indptr[k + 1]
+            if f0 >= f1:
+                continue
+            tgt = cols[e + 1:row_hi]
+            pos = np.searchsorted(tgt, cols[f0:f1])
+            ok = pos < tgt.shape[0]
+            pos_ok = pos[ok]
+            hit = tgt[pos_ok] == cols[f0:f1][ok]
+            upd = (e + 1) + pos_ok[hit]
+            data[upd] -= lik * data[f0:f1][ok][hit]
+    return data
+
+
 def ilu0(a: CSR) -> Tuple[CSR, CSR]:
     """ILU(0) factorization on the host: A ~= L U with L unit-lower and U
     upper, both on A's sparsity pattern (IKJ Doolittle over CSR).
@@ -168,35 +215,7 @@ def ilu0(a: CSR) -> Tuple[CSR, CSR]:
     n = a.shape[0]
     indptr = np.asarray(a.indptr, dtype=np.int64)
     cols = np.asarray(a.indices, dtype=np.int64)
-    data = np.asarray(a.data, dtype=np.float64).copy()
-
-    # column position lookup per row for O(1) fill-in checks
-    col_pos = [dict(zip(cols[indptr[i]:indptr[i + 1]],
-                        range(indptr[i], indptr[i + 1])))
-               for i in range(n)]
-    diag_idx = np.full(n, -1, dtype=np.int64)
-    for i in range(n):
-        d = col_pos[i].get(i, -1)
-        if d < 0:
-            raise ValueError(f"ILU(0): missing diagonal in row {i}")
-        diag_idx[i] = d
-
-    for i in range(n):
-        for e in range(indptr[i], indptr[i + 1]):
-            k = cols[e]
-            if k >= i:
-                break
-            pivot = data[diag_idx[k]]
-            if pivot == 0:
-                raise ZeroDivisionError(f"ILU(0): zero pivot at row {k}")
-            lik = data[e] / pivot
-            data[e] = lik
-            # row_i -= lik * row_k (only where row_i has entries, j > k)
-            for f in range(diag_idx[k] + 1, indptr[k + 1]):
-                j = cols[f]
-                pos = col_pos[i].get(j)
-                if pos is not None:
-                    data[pos] -= lik * data[f]
+    data = _ilu0_values(a)
 
     # split into L (unit diag) and U
     rows = np.repeat(np.arange(n, dtype=np.int64), np.diff(indptr))

@@ -116,3 +116,29 @@ def test_auto_plan_semiring_picks_sell_with_pad(rng):
     assert isinstance(p, SellPlan)
     assert p.stats.pad_value == np.inf
     assert np.isinf(np.asarray(p.vals)).any()     # padding is +inf
+
+
+def test_max_times_rejects_negative_matrix(rng):
+    # max-times is only a semiring on the non-negative domain: padding
+    # slots carry its zero (0.0), and mul(0, x) = 0 would out-reduce true
+    # all-negative row products.  The plan builder must refuse.
+    a = random_csr(rng, 64, 64, density=0.06)
+    a.data[0] = -1.0
+    with pytest.raises(ValueError, match="non-negative"):
+        auto_plan(a, semiring="max_times")
+
+
+def test_max_times_correct_on_nonnegative_domain(rng):
+    a = random_csr(rng, 256, 256, density=0.03)
+    a.data[:] = np.abs(a.data)
+    x = np.abs(rng.standard_normal(256).astype(np.float32))
+    plan = auto_plan(a, semiring="max_times").to_device()
+    y = np.asarray(spmv_plan(plan, x, semiring="max_times"))
+    # host reference: y[i] = max_j A[i,j] * x[j] over stored entries
+    indptr, indices = np.asarray(a.indptr), np.asarray(a.indices)
+    data = np.asarray(a.data, np.float64)
+    want = np.zeros(256)
+    for i in range(256):
+        for e in range(indptr[i], indptr[i + 1]):
+            want[i] = max(want[i], data[e] * x[indices[e]])
+    np.testing.assert_allclose(y, want, rtol=1e-5)

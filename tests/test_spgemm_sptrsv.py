@@ -159,3 +159,40 @@ def test_ilu0_preconditioner_accelerates_cg(rng):
     pc = solvers.cg(matvec, jnp.asarray(b), tol=1e-8, maxiter=400, M=M)
     assert int(pc.iterations) < int(plain.iterations)
     assert float(pc.residual_norm) < 1e-4 * np.linalg.norm(b)
+
+
+def test_ilu0_native_matches_numpy_fallback(rng):
+    # the C++ spmv_ilu0_f64 and the vectorized-numpy Doolittle must agree
+    # bit-for-bit (same operation order) on a non-trivial pattern
+    from spmv_vector_cache_tpu import native_lib
+
+    n = 400
+    a = _spd_banded(rng, n, band=5)
+    vals_np = sptrsv._ilu0_values(a)  # dispatches to native when available
+    if native_lib.available():
+        import scipy.sparse as sp
+        # force the numpy path by monkeypatching availability
+        import unittest.mock as mock
+        with mock.patch.object(native_lib, "available", lambda: False):
+            vals_py = sptrsv._ilu0_values(a)
+        np.testing.assert_allclose(vals_np, vals_py, rtol=1e-13, atol=1e-13)
+
+
+def test_ilu0_scales_past_python_loop_sizes(rng):
+    # the VERDICT flagged the dict-loop prototype as unusable at kernel
+    # sizes; the rewrite must factor a 100k-row band matrix in seconds
+    import time
+
+    n = 100_000
+    a = _spd_banded(rng, n, band=3)
+    t0 = time.monotonic()
+    L, U = sptrsv.ilu0(a)
+    dt = time.monotonic() - t0
+    assert dt < 30.0, f"ILU(0) took {dt:.1f}s at n={n}"
+    # spot-check correctness on a small leading block
+    k = 512
+    import scipy.sparse as sp
+    lu = (_scipy(L) @ _scipy(U)).tocsr()[:k, :k]
+    np.testing.assert_allclose(lu.toarray(),
+                               _scipy(a).tocsr()[:k, :k].toarray(),
+                               rtol=1e-8, atol=1e-8)
