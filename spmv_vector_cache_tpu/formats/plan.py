@@ -510,6 +510,10 @@ def _try_dia_plan(csr: CSR, *, value_dtype, max_window_blocks, lane_rows,
     dia, rest, coverage = split_diagonal(csr, min_diag_fill=min_diag_fill)
     if dia is None or coverage < min_dia_coverage:
         return None
+    if np.dtype(value_dtype) == np.float64 and rest is not None:
+        # a double HybridPlan would need a df64 SELL residual pass; until
+        # spmv_plan grows one, route whole-matrix f64 to the SELL path
+        return None
     # the shift kernel streams sliding x blocks when x exceeds VMEM, but
     # each step's window must stay a few blocks wide: bound the diagonal
     # span (wider structure belongs to the SELL window/stripe machinery)

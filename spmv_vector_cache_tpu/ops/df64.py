@@ -91,33 +91,3 @@ def split_f64(a) -> Tuple[np.ndarray, np.ndarray]:
 def join_f64(hi, lo) -> np.ndarray:
     """(hi, lo) f32 pair -> numpy float64 (host-side exact sum)."""
     return np.asarray(hi, np.float64) + np.asarray(lo, np.float64)
-
-
-def dot_df(vh: Array, vl: Array, xh: Array, xl: Array, axis=None
-           ) -> Tuple[Array, Array]:
-    """Compensated reduction sum(v * x) over ``axis`` in df64, for
-    host-level (XLA) use: sequential fori over the axis would not
-    vectorize, so this reduces pairwise via sorting-free tree doubling."""
-    ph, pe = two_prod(vh, xh)
-    pe = pe + (vh * xl + vl * xh)
-    h, l = quick_two_sum(ph, pe)
-    if axis is None:
-        h, l = h.reshape(-1), l.reshape(-1)
-        axis = 0
-    # tree reduction: pad to a power of two with zeros, halve repeatedly
-    n = h.shape[axis]
-    size = 1
-    while size < n:
-        size *= 2
-    pad = [(0, 0)] * h.ndim
-    pad[axis] = (0, size - n)
-    h = jnp.pad(h, pad)
-    l = jnp.pad(l, pad)
-    while h.shape[axis] > 1:
-        m = h.shape[axis] // 2
-        h0 = jnp.take(h, jnp.arange(0, 2 * m, 2), axis=axis)
-        h1 = jnp.take(h, jnp.arange(1, 2 * m, 2), axis=axis)
-        l0 = jnp.take(l, jnp.arange(0, 2 * m, 2), axis=axis)
-        l1 = jnp.take(l, jnp.arange(1, 2 * m, 2), axis=axis)
-        h, l = add(h0, l0, h1, l1)
-    return jnp.squeeze(h, axis), jnp.squeeze(l, axis)

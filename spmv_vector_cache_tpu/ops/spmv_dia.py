@@ -154,6 +154,15 @@ def spmv_dia_df(plan: DiaPlan, xh: Array, xl: Array,
     D = D2 // 2
     rows, cols = plan.shape
     x_rows = plan.x_rows
+    # the df64 kernel keeps TWO (x_rows, 128) f32 images resident plus a
+    # (1, 2D, S, 128) double-buffered vals block — roughly twice the f32
+    # path's footprint and (unlike spmv_dia) with no windowed fallback yet
+    footprint = 2 * x_rows * 128 * 4 + 2 * D2 * S * 128 * 4
+    if footprint > 2 * X_RESIDENT_BUDGET_BYTES:
+        raise ValueError(
+            f"matrix too large for the df64 resident kernel (needs "
+            f"{footprint >> 20} MiB VMEM for the hi/lo x images + vals "
+            f"block); shrink the matrix or use the f32/bf16 path")
 
     def image(v):
         flat = jnp.zeros((x_rows * 128,), jnp.float32)

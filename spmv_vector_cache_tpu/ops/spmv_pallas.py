@@ -322,6 +322,9 @@ def spmv_plan(plan, x: Array, *, strategy: str = "auto",
         if strategy not in ("auto", "dia"):
             raise ValueError(f"DiaPlan supports only the 'dia' strategy, "
                              f"got {strategy!r}")
+        if plan.double:
+            from .spmv_dia import spmv_dia_double
+            return spmv_dia_double(plan, x, interpret=interpret)
         return spmv_dia(plan, x, interpret=interpret)
     if isinstance(plan, HybridPlan):
         return (spmv_dia(plan.dia, x, interpret=interpret) +

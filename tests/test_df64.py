@@ -1,0 +1,128 @@
+"""df64 (double-float) arithmetic + the f64-equivalent kernel paths.
+
+The reference computes every SpMV in IEEE double precision
+(``software/SparseMatrix.h:5``, ``chisel/frontend/SemiringOp.scala:98-154``);
+our f64-parity story is hi/lo f32 pairs with error-free transformations
+(``ops/df64.py``).  These tests pin the primitives and the device paths
+against numpy float64.
+"""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from spmv_vector_cache_tpu.formats import convert
+from spmv_vector_cache_tpu.formats.dia import build_dia_plan, csr_to_dia
+from spmv_vector_cache_tpu.formats.plan import auto_plan
+from spmv_vector_cache_tpu.ops import df64
+from tests.conftest import random_csr
+
+
+def test_split_join_roundtrip(rng):
+    a = rng.normal(size=4096) * np.exp(rng.normal(size=4096) * 8)
+    hi, lo = df64.split_f64(a)
+    assert hi.dtype == np.float32 and lo.dtype == np.float32
+    # hi + lo recovers the double to f32-pair precision (~2^-48 rel)
+    back = df64.join_f64(hi, lo)
+    np.testing.assert_allclose(back, a, rtol=2e-14, atol=0)
+
+
+def test_two_sum_two_prod_error_free(rng):
+    import jax.numpy as jnp
+    a64 = rng.normal(size=1024)
+    b64 = rng.normal(size=1024) * 1e-6
+    a = jnp.asarray(a64, jnp.float32)
+    b = jnp.asarray(b64, jnp.float32)
+    s, e = df64.two_sum(a, b)
+    exact = np.asarray(a, np.float64) + np.asarray(b, np.float64)
+    np.testing.assert_array_equal(
+        np.asarray(s, np.float64) + np.asarray(e, np.float64), exact)
+    p, pe = df64.two_prod(a, b)
+    exactp = np.asarray(a, np.float64) * np.asarray(b, np.float64)
+    np.testing.assert_array_equal(
+        np.asarray(p, np.float64) + np.asarray(pe, np.float64), exactp)
+
+
+def test_df64_add_mul_accuracy(rng):
+    xh, xl = df64.split_f64(rng.normal(size=512))
+    yh, yl = df64.split_f64(rng.normal(size=512))
+    import jax.numpy as jnp
+    args = [jnp.asarray(v) for v in (xh, xl, yh, yl)]
+    sh, sl = df64.add(*args)
+    want = df64.join_f64(xh, xl) + df64.join_f64(yh, yl)
+    np.testing.assert_allclose(df64.join_f64(np.asarray(sh), np.asarray(sl)),
+                               want, rtol=1e-13)
+    ph, plo = df64.mul(*args)
+    wantp = df64.join_f64(xh, xl) * df64.join_f64(yh, yl)
+    np.testing.assert_allclose(df64.join_f64(np.asarray(ph), np.asarray(plo)),
+                               wantp, rtol=1e-13)
+
+
+def test_spmv_dia_double_matches_numpy_f64(rng):
+    from spmv_vector_cache_tpu.ops.spmv_dia import spmv_dia_double
+
+    n = 1024
+    diags = [-3, -1, 0, 2, 5]
+    data = rng.normal(size=(len(diags), n)) * \
+        np.exp(rng.normal(size=(len(diags), n)) * 2)
+    a = sp.dia_matrix((data, diags), shape=(n, n)).tocsr()
+    plan = build_dia_plan(csr_to_dia(convert.from_scipy(a)),
+                          value_dtype=np.float64)
+    assert plan.double
+    x = rng.normal(size=n) * np.exp(rng.normal(size=n) * 2)
+    y = spmv_dia_double(plan, x, interpret=True)
+    want = a.astype(np.float64) @ x
+    # ~2^-48 per op, amplified by the 5-term sum's condition number
+    np.testing.assert_allclose(y, want, rtol=1e-11, atol=1e-300)
+    rel = np.abs(y - want) / np.maximum(np.abs(want), 1e-30)
+    assert np.median(rel) < 1e-13
+
+
+def test_spmv_plan_dispatches_double_dia(rng):
+    """auto_plan(value_dtype=f64) on a banded matrix must yield a plan the
+    public dispatcher can execute (regression: ADVICE r2 medium)."""
+    from spmv_vector_cache_tpu.ops.spmv_pallas import spmv_plan
+
+    n = 512
+    diags = [-1, 0, 1]
+    data = rng.normal(size=(len(diags), n))
+    a = sp.dia_matrix((data, diags), shape=(n, n)).tocsr()
+    plan = auto_plan(convert.from_scipy(a), value_dtype=np.float64)
+    x = rng.normal(size=n)
+    y = spmv_plan(plan, x, interpret=True)
+    np.testing.assert_allclose(np.asarray(y, np.float64),
+                               a.astype(np.float64) @ x, rtol=1e-11)
+
+
+def test_auto_plan_f64_never_builds_hybrid(rng):
+    """f64 + banded-plus-noise must not route to a HybridPlan (which has
+    no double execution path); the SELL path takes the whole matrix."""
+    from spmv_vector_cache_tpu.formats.dia import DiaPlan, HybridPlan
+
+    n = 768
+    diags = [-2, -1, 0, 1, 2]
+    data = rng.normal(size=(len(diags), n))
+    banded = sp.dia_matrix((data, diags), shape=(n, n)).tocsr()
+    noise = sp.random(n, n, density=0.002, format="csr",
+                      random_state=np.random.RandomState(7))
+    a = (banded + noise).tocsr()
+    a.sort_indices()
+    plan = auto_plan(convert.from_scipy(a), value_dtype=np.float64)
+    assert not isinstance(plan, HybridPlan)
+    if isinstance(plan, DiaPlan):
+        assert plan.double
+
+
+def test_spmv_dia_df_rejects_oversized(rng):
+    """The df64 resident kernel must refuse matrices whose hi/lo x images
+    exceed the VMEM budget with a clear error (regression: ADVICE r2)."""
+    from spmv_vector_cache_tpu.formats.dia import DIA
+    from spmv_vector_cache_tpu.ops.spmv_dia import spmv_dia_df
+
+    n = 6_000_000  # hi+lo images ~ 2 * 24 MB >> budget
+    d = DIA(offsets=np.array([0], np.int64),
+            data=np.ones((1, n), np.float64), shape=(n, n))
+    plan = build_dia_plan(d, value_dtype=np.float64)
+    with pytest.raises(ValueError, match="df64 resident"):
+        spmv_dia_df(plan, np.ones(n, np.float32), np.zeros(n, np.float32),
+                    interpret=True)
