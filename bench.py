@@ -143,6 +143,10 @@ def main():
     # --- general SELL window kernel on the same matrix (stderr detail) -----
     try:
         sell = auto_plan(a, allow_dia=False).to_device()
+        ys = np.asarray(spmv_plan(sell, x0, strategy="window",
+                                  interpret=interpret))
+        errs = np.abs(ys - want).max() / max(1.0, np.abs(want).max())
+        assert errs < 1e-4, "SELL window kernel is WRONG, refusing to report"
 
         def make_sell(iters):
             @jax.jit
@@ -155,8 +159,9 @@ def main():
             return lambda: go(sell, x0)
 
         dts = roofline.time_marginal(make_sell, i1=20, i2=80)
-        log(f"SELL window kernel (general path): {dts*1e3:.3f} ms/iter -> "
-            f"{nnz/dts/1e9:.2f} Gnnz/s")
+        log(f"SELL window kernel (general path, rel err {errs:.2g}): "
+            f"{dts*1e3:.3f} ms/iter -> {nnz/dts/1e9:.2f} Gnnz/s "
+            f"({100*(nnz/dts)/roof:.1f}% of the 8 B/nnz CSR roofline)")
     except Exception as e:  # noqa: BLE001 — detail only, never the headline
         log(f"SELL detail run skipped: {e}")
 

@@ -51,12 +51,10 @@ Array = Any
 #: tiles per kernel grid step (output block sublane alignment requires 8)
 TILES_PER_STEP = 8
 
-#: tiles sharing one x-window base.  Finer granularity shrinks each
-#: window's column span (for a banded matrix a 4-tile group usually spans
-#: one 128-row slice -> K=3 blocks instead of 4), cutting the number of
-#: gather passes — the dominant cost of the window kernel.  Must divide
-#: TILES_PER_STEP; kernels pair two 4-tile groups per 8-sublane output
-#: write to keep stores aligned.
+#: default tiles sharing one x-window base (overridable per plan via
+#: ``window_group_tiles``).  Finer granularity shrinks each window's
+#: column span; must divide TILES_PER_STEP.  Kernels concatenate
+#: ``8 / group_tiles`` group results per 8-sublane output store.
 WINDOW_GROUP_TILES = 4
 
 
@@ -79,6 +77,21 @@ class PlanStats:
     pad_value: float = 0.0  # value of padding slots (the semiring's zero)
     uniform_tiles_per_slice: int = 0  # u if every slice spans exactly u
     # tiles and u | 8 (enables the in-kernel slice reduction); 0 otherwise
+    group_tiles: int = WINDOW_GROUP_TILES  # tiles per x-window group (wg)
+    #: p when every row has exactly p sub-rows in natural (row-major)
+    #: order — the epilogue then folds y with one reshape+reduce instead
+    #: of a scattered segment sum; 0 otherwise
+    uniform_parts: int = 0
+    #: all tiles of each wg-group share one slice: the kernel may reduce
+    #: whole groups to single output rows (in-kernel slice fold)
+    group_fold: bool = False
+    #: group g *is* slice g for g < num_slices (uniform tiling): kernel
+    #: group rows are y2d directly, no tile segment-sum at all
+    group_slice_identity: bool = False
+    #: double-float layout: vals is f32 (T, 2*positions, R) with value
+    #: highs in [:, :P] and lows in [:, P:] — the f64-parity datapath
+    #: (cf. the reference's DP cores, ``SemiringOp.scala:98-154``)
+    double: bool = False
 
     def as_dict(self):
         return dataclasses.asdict(self)
@@ -104,8 +117,13 @@ class SellPlan:
     cols: Array          # (T, P, R) int32 global column ids
     cols_win: Array      # (T, P, R) int16 in-window offsets (empty if K == 0)
     tile_slice: Array    # (T,) int32, nondecreasing
-    window_base: Array   # (T/WINDOW_GROUP_TILES,) int32 x window base
+    window_base: Array   # (T/group_tiles,) int32 x window base
     row_map: Array       # (num_slices * R,) int32 → original row, `rows` = pad
+    #: (T/group_tiles * K,) int32 precomputed x2d row ids for the window
+    #: kernel's xw gather — building these in-graph costs ~0.05 ms/call
+    #: inside a chained loop (XLA does not hoist the loop-invariant iota/
+    #: clip), measured 65 -> 73 Gnnz/s; empty when K == 0
+    window_rows: Array
     shape: Tuple[int, int]
     lane_rows: int       # R
     positions: int       # P
@@ -113,7 +131,7 @@ class SellPlan:
     stats: PlanStats
 
     _array_fields = ("vals", "cols", "cols_win", "tile_slice", "window_base",
-                     "row_map")
+                     "row_map", "window_rows")
 
     def tree_flatten(self):
         children = tuple(getattr(self, f) for f in self._array_fields)
@@ -124,10 +142,12 @@ class SellPlan:
     @classmethod
     def tree_unflatten(cls, aux, children):
         shape, lane_rows, positions, identity_map, stats = aux
-        vals, cols, cols_win, tile_slice, window_base, row_map = children
+        (vals, cols, cols_win, tile_slice, window_base, row_map,
+         window_rows) = children
         return cls(vals=vals, cols=cols, cols_win=cols_win,
                    tile_slice=tile_slice,
-                   window_base=window_base, row_map=row_map, shape=shape,
+                   window_base=window_base, row_map=row_map,
+                   window_rows=window_rows, shape=shape,
                    lane_rows=lane_rows, positions=positions,
                    identity_map=identity_map, stats=stats)
 
@@ -177,8 +197,8 @@ def _cdiv(a, b):
 
 
 def compute_cols_win(live: np.ndarray, cols: np.ndarray,
-                     window_base: np.ndarray, window_blocks: int
-                     ) -> np.ndarray:
+                     window_base: np.ndarray, window_blocks: int,
+                     group_tiles: int = WINDOW_GROUP_TILES) -> np.ndarray:
     """In-window column offsets, the windowed kernel's streamed index form.
 
     Live slots (``live`` mask; ``vals != 0`` for plus-times plans) become
@@ -194,11 +214,25 @@ def compute_cols_win(live: np.ndarray, cols: np.ndarray,
     T, P, R = cols.shape
     if not window_blocks or not T:
         return np.zeros((0, P, R), np.int16)
-    wb_tile = np.repeat(np.asarray(window_base, np.int64),
-                        WINDOW_GROUP_TILES)
+    wb_tile = np.repeat(np.asarray(window_base, np.int64), group_tiles)
     off = cols.astype(np.int64) - (wb_tile * 128)[:, None, None]
     off = np.where(live != 0, off, 0)
     return off.astype(np.int16)
+
+
+def compute_window_rows(window_base: np.ndarray, window_blocks: int,
+                        num_cols: int) -> np.ndarray:
+    """Precomputed x2d row ids for the window kernel's xw gather (see
+    SellPlan.window_rows); must mirror the runtime's x image geometry
+    (``spmv_pallas._spmv_window``: nb = max(ceil(cols/128),
+    max_window_base + K) + 1)."""
+    if not window_blocks:
+        return np.zeros((0,), np.int32)
+    wb = np.asarray(window_base, np.int64)
+    nb = max(_cdiv(num_cols, 128),
+             int(wb.max(initial=0)) + window_blocks) + 1
+    wr = wb[:, None] + np.arange(window_blocks, dtype=np.int64)[None, :]
+    return np.clip(wr, 0, nb - 1).astype(np.int32).reshape(-1)
 
 
 def build_sell_plan(a, *, lane_rows: int = 128, positions: int = 8,
@@ -208,7 +242,9 @@ def build_sell_plan(a, *, lane_rows: int = 128, positions: int = 8,
                     max_window_blocks: int = 16,
                     groups_per_step: Optional[int] = None,
                     value_dtype=np.float32,
-                    pad_value: float = 0.0) -> SellPlan:
+                    pad_value: float = 0.0,
+                    window_group_tiles: Optional[int] = None,
+                    uniform_split: bool = False) -> SellPlan:
     """Build a SELL tile plan from any container (host-side, numpy).
 
     ``split``: max nonzeros per sub-row (None = no splitting).
@@ -224,8 +260,29 @@ def build_sell_plan(a, *, lane_rows: int = 128, positions: int = 8,
     ``pad_value``: value of padding slots — the additive identity of the
     semiring the plan will run under (0 for plus-times, +inf for
     min-plus, ...), so padding contributes nothing to any reduction.
+    ``window_group_tiles``: tiles sharing one x-window base (must divide
+    TILES_PER_STEP); smaller groups shrink the per-window column span.
+    ``uniform_split``: with ``split``, give EVERY row exactly
+    ``ceil(max_len/split)`` sub-rows (empty ones padded) and pad every
+    slice to the same tile count — a 128-lane slice then covers a fixed
+    block of ``128/parts`` rows (shrinking the window span) and the y
+    fixup collapses to one reshape+reduce (``stats.uniform_parts``); with
+    ``window_group_tiles == ceil(split/positions)`` each window group is
+    exactly one slice and the kernel folds it to a single output row
+    (``stats.group_slice_identity``).
     """
     csr = _as_csr(a)
+    wg = window_group_tiles if window_group_tiles is not None \
+        else WINDOW_GROUP_TILES
+    if TILES_PER_STEP % wg:
+        raise ValueError(f"window_group_tiles ({wg}) must divide "
+                         f"TILES_PER_STEP ({TILES_PER_STEP})")
+    if uniform_split and (split is None or stripe_width is not None):
+        raise ValueError("uniform_split requires split= and no striping")
+    double = np.dtype(value_dtype) == np.float64
+    if double and pad_value != 0.0:
+        raise ValueError("double-float plans support plus_times only "
+                         "(pad_value must be 0)")
     rows, cols_n = csr.shape
     indptr = np.asarray(csr.indptr, dtype=np.int64)
     indices = (np.asarray(csr.indices, dtype=np.int64) & 0x3FFFFFFF)
@@ -256,16 +313,28 @@ def build_sell_plan(a, *, lane_rows: int = 128, positions: int = 8,
         piece_stripe = np.zeros(rows, dtype=np.int64)
         num_stripes = 1
 
-    if split is not None and piece_len.size and piece_len.max() > split:
-        pieces = np.maximum(1, _cdiv(piece_len, split))
+    uniform_parts = 0
+    if split is not None and piece_len.size and \
+            (piece_len.max() > split or uniform_split):
+        if uniform_split:
+            # every row gets exactly p sub-rows (trailing ones possibly
+            # empty): slices then tile a fixed rows-per-slice block and
+            # the y fixup is one reshape+reduce (see stats.uniform_parts)
+            p_parts = max(1, int(_cdiv(int(piece_len.max()), split)))
+            pieces = np.full(piece_row.shape[0], p_parts, dtype=np.int64)
+        else:
+            pieces = np.maximum(1, _cdiv(piece_len, split))
         rep = np.repeat(np.arange(piece_row.shape[0], dtype=np.int64), pieces)
         within = np.arange(rep.shape[0], dtype=np.int64) - \
             np.repeat(np.cumsum(pieces) - pieces, pieces)
-        sub_start = piece_start[rep] + within * split
-        sub_len = np.minimum(piece_len[rep] - within * split, split)
+        sub_start = np.minimum(piece_start[rep] + within * split,
+                               piece_start[rep] + piece_len[rep])
+        sub_len = np.clip(piece_len[rep] - within * split, 0, split)
         sub_row = piece_row[rep]
         sub_stripe = piece_stripe[rep]
         num_splits = int((pieces > 1).sum())
+        if uniform_split and p_parts > 1 and sigma is None:
+            uniform_parts = p_parts
     else:
         sub_start, sub_len = piece_start, piece_len
         sub_row, sub_stripe = piece_row, piece_stripe
@@ -317,6 +386,21 @@ def build_sell_plan(a, *, lane_rows: int = 128, positions: int = 8,
             if pad:
                 keep_parts.append(np.full(pad, -1, dtype=np.int64))
         slot_src = np.concatenate(keep_parts)
+    elif uniform_parts and num_subrows:
+        # part-major within each slice: a slice covers rows_per_slice =
+        # R // p consecutive rows, with part j of row r at lane
+        # j*rows_per_slice + (r % rows_per_slice).  The y fixup is then a
+        # contiguous-lane fold of y2d — NOT a (rows, p) reshape, which
+        # relayouts the whole vector on TPU (measured 14.5 vs 74 Gnnz/s
+        # end to end)
+        p_u = uniform_parts
+        rps_u = R // p_u
+        n_slices_u = _cdiv(rows, rps_u)
+        slot_src = np.full(n_slices_u * R, -1, dtype=np.int64)
+        k = np.arange(num_subrows, dtype=np.int64)
+        k_row = k // p_u
+        dest = (k_row // rps_u) * R + (k % p_u) * rps_u + (k_row % rps_u)
+        slot_src[dest] = k
     else:
         slot_src = np.arange(num_subrows, dtype=np.int64)
 
@@ -332,6 +416,10 @@ def build_sell_plan(a, *, lane_rows: int = 128, positions: int = 8,
     # --- 3. slices and tile allocation -------------------------------------
     slice_len = slot_len.reshape(num_slices, R).max(axis=1)
     ntiles = np.maximum(1, _cdiv(slice_len, P))
+    if uniform_parts:
+        # uniform tiling: every slice gets the same ceil(split/P) tiles so
+        # window groups align 1:1 with slices (group_slice_identity)
+        ntiles = np.full(num_slices, max(1, _cdiv(split, P)), np.int64)
 
     # stripe of each slice (slices are stripe-pure by construction; empty
     # slices inherit the previous stripe so contiguity is preserved)
@@ -388,7 +476,7 @@ def build_sell_plan(a, *, lane_rows: int = 128, positions: int = 8,
                            ntiles_padded)
 
     # --- 4. per-group window base + feasibility ------------------------------
-    WG = WINDOW_GROUP_TILES
+    WG = wg
     flat_cols = cols.reshape(T // WG, -1)
     flat_valid = live.reshape(T // WG, -1)
     cmin = np.where(flat_valid, flat_cols, np.iinfo(np.int32).max).min(axis=1)
@@ -430,6 +518,12 @@ def build_sell_plan(a, *, lane_rows: int = 128, positions: int = 8,
     identity_map = (not sorted_applied) and num_splits == 0 and \
         num_stripes == 1
 
+    # fold structure: may the kernel reduce whole wg-groups to one row?
+    ts_g = tile_slice.reshape(-1, wg)
+    group_fold = bool(T) and bool((ts_g == ts_g[:, :1]).all())
+    group_slice_identity = group_fold and num_stripes == 1 and \
+        bool(np.all(ntiles_padded == wg))
+
     stats = PlanStats(
         nnz=nnz, num_tiles=T, num_slices=num_slices,
         num_subrows=num_subrows, num_splits=num_splits,
@@ -437,13 +531,25 @@ def build_sell_plan(a, *, lane_rows: int = 128, positions: int = 8,
         padded_slots=T * P * R - nnz,
         fill=float(nnz) / float(T * P * R) if T else 0.0,
         window_blocks=window_blocks, max_window_base=max_window_base,
-        groups_per_step=groups, pad_value=float(pad_value))
+        groups_per_step=groups, pad_value=float(pad_value),
+        group_tiles=wg, uniform_parts=uniform_parts,
+        group_fold=group_fold, group_slice_identity=group_slice_identity,
+        double=double)
 
-    cols_win = compute_cols_win(live, cols, wb, window_blocks)
+    cols_win = compute_cols_win(live, cols, wb, window_blocks, wg)
+    if double:
+        # hi/lo f32 channel pairs stacked along the sublane axis: the
+        # device never sees an f64 array (TPU vector units are f32-only)
+        from ..ops.df64 import split_f64
+
+        hi, lo = split_f64(vals)
+        vals = np.concatenate([hi, lo], axis=1)        # (T, 2P, R)
+    window_rows = compute_window_rows(wb, window_blocks, cols_n)
 
     return SellPlan(vals=vals, cols=cols, cols_win=cols_win,
                     tile_slice=tile_slice,
                     window_base=wb.astype(np.int32), row_map=row_map,
+                    window_rows=window_rows,
                     shape=(rows, cols_n), lane_rows=R, positions=P,
                     identity_map=identity_map, stats=stats)
 
@@ -510,10 +616,6 @@ def _try_dia_plan(csr: CSR, *, value_dtype, max_window_blocks, lane_rows,
     dia, rest, coverage = split_diagonal(csr, min_diag_fill=min_diag_fill)
     if dia is None or coverage < min_dia_coverage:
         return None
-    if np.dtype(value_dtype) == np.float64 and rest is not None:
-        # a double HybridPlan would need a df64 SELL residual pass; until
-        # spmv_plan grows one, route whole-matrix f64 to the SELL path
-        return None
     # the shift kernel streams sliding x blocks when x exceeds VMEM, but
     # each step's window must stay a few blocks wide: bound the diagonal
     # span (wider structure belongs to the SELL window/stripe machinery)
@@ -545,12 +647,31 @@ def _auto_sell_plan(csr: CSR, *, value_dtype, max_window_blocks,
     sigma = None
     if lens.size and lens.max() > 0:
         mean = max(1.0, float(lens.mean()))
-        if float(lens.max()) / mean > 8.0:
+        mx = float(lens.max())
+        if mx / mean > 8.0:
             split = int(max(positions,
                             _cdiv(int(mean * 4), positions) * positions))
             sigma = lane_rows * 8
         elif float(lens.std()) > mean:
             sigma = lane_rows * 8
+        elif mx >= 1.5 * positions and mx <= 3.0 * mean:
+            # regular rows: uniform split to 16-nnz sub-rows shrinks a
+            # slice's row extent (128 -> 128/parts rows), which shrinks
+            # every window group's column span — the knob that took the
+            # window kernel from 42 to 74 Gnnz/s on the banded bench
+            # matrix (probes/probe_window9.py); fill cost is bounded by
+            # the rows' regularity
+            usplit = 2 * positions
+            pu = build_sell_plan(csr, split=usplit, uniform_split=True,
+                                 window_group_tiles=max(
+                                     1, _cdiv(usplit, positions)), **kw)
+            # gate on fill over the REAL tiles (grid-step padding would
+            # dominate the ratio for small matrices)
+            real_slots = pu.stats.num_slices * _cdiv(usplit, positions) * \
+                positions * lane_rows
+            if pu.stats.window_blocks and \
+                    pu.stats.nnz >= 0.5 * real_slots:
+                return pu
     p = build_sell_plan(csr, sigma=sigma, split=split, **kw)
     if p.stats.window_blocks or p.stats.nnz == 0:
         return p
@@ -587,6 +708,8 @@ def validate_plan(plan: SellPlan, a=None) -> None:
     * optional: nonzero multiset matches the source container ``a``.
     """
     T, P, R = plan.vals.shape
+    if plan.stats.double:
+        P = plan.positions
     B = TILES_PER_STEP
     ts = np.asarray(plan.tile_slice)
     if ts.shape != (T,):
@@ -598,6 +721,8 @@ def validate_plan(plan: SellPlan, a=None) -> None:
 
     cols = np.asarray(plan.cols)
     vals = np.asarray(plan.vals)
+    if plan.stats.double:      # rejoin the hi/lo channel pairs to f64
+        vals = vals[:, :P].astype(np.float64) + vals[:, P:]
     pad = plan.stats.pad_value
     live = (vals != pad) if np.isfinite(pad) else np.isfinite(vals)
     if live.any():
@@ -607,7 +732,7 @@ def validate_plan(plan: SellPlan, a=None) -> None:
     K = plan.stats.window_blocks
     if K > 0:
         wb = np.asarray(plan.window_base).astype(np.int64)
-        step_of_tile = np.arange(T) // WINDOW_GROUP_TILES
+        step_of_tile = np.arange(T) // plan.stats.group_tiles
         lo = wb[step_of_tile] * 128
         ok = ~live | ((cols >= lo[:, None, None]) &
                       (cols < (lo + K * 128)[:, None, None]))

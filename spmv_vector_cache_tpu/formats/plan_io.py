@@ -15,7 +15,7 @@ import json
 
 import numpy as np
 
-from .plan import PlanStats, SellPlan, compute_cols_win
+from .plan import PlanStats, SellPlan, compute_cols_win, compute_window_rows
 
 _FORMAT_VERSION = 2
 
@@ -64,7 +64,10 @@ def load_plan(path: str) -> SellPlan:
     if "cols_win" not in arrays:        # version-1 plans predate cols_win
         arrays["cols_win"] = compute_cols_win(
             arrays["vals"] != stats.pad_value, arrays["cols"],
-            arrays["window_base"], stats.window_blocks)
+            arrays["window_base"], stats.window_blocks, stats.group_tiles)
+    if "window_rows" not in arrays:     # version <=2 plans predate these
+        arrays["window_rows"] = compute_window_rows(
+            arrays["window_base"], stats.window_blocks, meta["shape"][1])
     return SellPlan(shape=tuple(meta["shape"]), lane_rows=meta["lane_rows"],
                     positions=meta["positions"],
                     identity_map=meta["identity_map"], stats=stats,

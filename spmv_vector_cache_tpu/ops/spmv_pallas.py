@@ -6,9 +6,8 @@ reference's frontend/backend RTL (``chisel/backend/SpMVBackend.scala``,
 
 * the *backend* (4-channel DMA engine with FIFO-feedback throttling,
   ``SpMVBackend.scala:59-135``) becomes the Pallas grid pipeline: BlockSpec
-  index maps stream value/column tiles HBM->VMEM, double-buffered by the
-  Mosaic pipeliner, with a scalar-prefetched window table steering the x
-  blocks (``PrefetchScalarGridSpec``);
+  index maps stream value/offset tiles HBM->VMEM, double-buffered by the
+  Mosaic pipeliner;
 * the *frontend* (multiply + hazard-interlocked scattered accumulate)
   becomes a sublane multiply-reduce: the SELL layout binds rows to lanes,
   so ``y[row] +=`` is a vector sum with no hazards to track;
@@ -17,25 +16,29 @@ reference's frontend/backend RTL (``chisel/backend/SpMVBackend.scala``,
   the irregularly-accessed dense vector — in the CSR dual that is **x**:
 
   - ``window`` strategy (the vector-cache / BufferSel / BufferAll analog):
-    a K*128-wide VMEM window of x slides under plan control
-    (``window_base``), and the kernel gathers lanes from it with K
-    ``take_along_axis`` passes (TPU's gather primitive covers exactly 128
-    lanes).  K comes from the plan's column-span analysis — the port of
-    ``maxColSpan`` (``SparseMatrix.cpp:110-119``).  A window covering all
-    of x *is* BufferAll; a sliding window is the cache; the plan's
-    column-striping mode manufactures locality when there is none, the
-    role the hybrid BufferSel plays in the reference;
+    each K*128-lane x window is materialized by ONE XLA row-gather into a
+    regular ``xw`` operand streamed alongside the nonzero tiles, and the
+    kernel's x accesses are all *static* slices of its block.  This shape
+    is probe-derived (probes/probe_window8/9.py): on a v5e the 128-lane
+    gathers cost ~a cycle per vreg, while any per-group *dynamic* VMEM
+    slicing costs ~25 scalar cycles of address arithmetic — so the round-2
+    kernel (resident x + per-group ``pl.ds`` windows) was address-bound at
+    42 Gnnz/s and this one reaches ~74 on the same banded matrix.  K
+    (``window_blocks``) comes from the plan's column-span analysis — the
+    port of ``maxColSpan`` (``SparseMatrix.cpp:110-119``);
   - ``stream`` strategy (BufferNone analog): x[cols] pre-gathered by an
     XLA gather through HBM — every irregular access pays memory latency,
     like the every-operand-to-DDR variant
     (``SpMVFrontendBufferNone.scala``); the robust fallback for layouts
     where no window is feasible.
 
-The kernel emits per-tile partial sums (no cross-tile accumulation in the
-kernel, so the grid pipelines freely); a sorted segment-sum folds tiles
-into slices, and the plan's ``row_map`` fixup merges split/sigma/stripe
-sub-rows — both cheap XLA passes over data that is ~P*R times smaller than
-the nonzero stream.
+The kernel emits per-tile partial sums, or — when the plan guarantees
+every window group lives in one slice (``stats.group_fold``) — one row
+per *group*; with uniform tiling (``stats.group_slice_identity``) those
+rows ARE y2d and the epilogue collapses to a reshape (+ a p-way fold for
+``stats.uniform_parts`` split layouts).  Otherwise a sorted segment-sum
+folds tiles into slices and the plan's ``row_map`` fixup merges
+split/sigma/stripe sub-rows.
 """
 
 from __future__ import annotations
@@ -46,9 +49,8 @@ from typing import Any, Optional
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
-from ..formats.plan import TILES_PER_STEP, WINDOW_GROUP_TILES, SellPlan
+from ..formats.plan import TILES_PER_STEP, SellPlan
 from ..utils import platform
 
 Array = Any
@@ -87,119 +89,97 @@ def _fence_interpret(partials: Array, interpret: bool) -> Array:
     return partials
 
 
+def _fixup_rows(plan: SellPlan, y2d: Array, semiring: str) -> Array:
+    """(num_slices, R) slice sums -> y: identity slice, uniform-parts
+    lane fold, or the general row_map segment reduce."""
+    from . import semiring as sr
+
+    rows = plan.shape[0]
+    if plan.identity_map:
+        return y2d.reshape(-1)[:rows]
+    p = plan.stats.uniform_parts
+    if p:
+        # uniform split layouts are part-major within each slice (part j
+        # of row r at lane j*rps + r%rps), so the fixup is a fold of
+        # contiguous 2D lane slices — cheap on TPU, unlike a (rows, p)
+        # reshape+reduce (full relayout) or an unsorted segment_sum
+        # (scatter, measured ~19 ms for 2M elements)
+        s = sr.get(semiring)
+        rps = plan.lane_rows // p
+        acc = y2d[:, :rps]
+        for j in range(1, p):
+            acc = s.add(acc, y2d[:, j * rps:(j + 1) * rps])
+        # or_and's logical add yields bool; restore the float encoding
+        return acc.astype(y2d.dtype).reshape(-1)[:rows]
+    s = sr.get(semiring)
+    y = s.segment_reduce(y2d.reshape(-1), jnp.asarray(plan.row_map),
+                         num_segments=rows + 1)
+    return y[:rows]
+
+
 def _reduce_partials(plan: SellPlan, partials: Array,
-                     semiring: str = "plus_times") -> Array:
-    """(T, R) per-tile partials -> y: slice fold + sub-row fixup, both
-    under the semiring's additive reduction."""
+                     semiring: str = "plus_times",
+                     per_group: bool = False) -> Array:
+    """Kernel output -> y.  ``partials`` holds per-tile rows (T, R), or
+    per-group rows (ngroups, R) when the kernel folded slices in-place
+    (``per_group``); both reduce to y2d under the semiring's add, then
+    the sub-row fixup runs."""
     from . import semiring as sr
 
     s = sr.get(semiring)
-    rows = plan.shape[0]
-    y2d = s.segment_reduce(partials, jnp.asarray(plan.tile_slice),
-                           num_segments=plan.num_slices,
-                           indices_are_sorted=True)
-    flat = y2d.reshape(-1)
-    if plan.identity_map:
-        return flat[:rows]
-    y = s.segment_reduce(flat, jnp.asarray(plan.row_map),
-                         num_segments=rows + 1)
-    return y[:rows]
+    st = plan.stats
+    if per_group and st.group_slice_identity:
+        y2d = partials[:plan.num_slices]
+    else:
+        ids = jnp.asarray(plan.tile_slice)
+        if per_group:
+            ids = ids[::st.group_tiles]
+        y2d = s.segment_reduce(partials, ids,
+                               num_segments=plan.num_slices,
+                               indices_are_sorted=True)
+    return _fixup_rows(plan, y2d, semiring)
 
 
 # ---------------------------------------------------------------------------
 # window strategy
 # ---------------------------------------------------------------------------
 
-#: x copies up to this size stay fully VMEM-resident in the window kernel
-#: (the BufferAll regime); larger x falls back to per-group window streaming
-X_RESIDENT_BUDGET_BYTES = 8 << 20
-
-
-def _group_accumulate(K: int, WG: int, P: int, R: int, vg, cw, get_xb,
-                      semiring: str = "plus_times", acc_dtype=None):
-    """Multiply-gather one window group: vals (WG,P,R) x in-window offsets
-    (WG,P,R) against a K*128-wide x window served block-wise by
-    ``get_xb(b)`` ((1, 128) block b of the window).
-
-    ``cw`` offsets are plan-precomputed (``compute_cols_win``) and already
-    in [0, K*128), so the per-pass steering is two cheap integer ops —
-    ``bucket = off >> 7`` picks the 128-lane block, ``off & 127`` the lane
-    — instead of the subtract/compare/clamp chain the global-cols kernel
-    needed.  Each block is gathered once and the K gathered candidates are
-    merged with K-1 selects before a single multiply (gather passes are
-    the kernel's dominant cost; the per-pass multiply/add of the earlier
-    scheme measured ~20% slower).  Padding slots carry (val 0, offset 0):
-    they gather a real lane but contribute val*x = 0."""
+def _make_window_kernel(K: int, NG: int, P: int, R: int, wg: int,
+                        fold: bool, semiring: str = "plus_times",
+                        acc_dtype=None):
+    """One grid step = NG groups of wg tiles; group g gathers from row g
+    of the pre-gathered ``xw`` block — every x access is a static slice
+    (no per-group address arithmetic, the round-3 redesign).  In-window
+    offsets are plan-precomputed int16 in [0, K*128): ``off >> 7`` picks
+    the 128-lane block, ``off & 127`` the lane; the K gathered candidates
+    merge with K-1 selects before a single multiply.  Padding slots carry
+    (semiring zero, offset 0): they gather a real lane but contribute
+    nothing to the reduction.  ``fold=True`` reduces each group (all of
+    one slice) to a single output row."""
     from . import semiring as sr
 
     mul, axis_reduce = sr.kernel_ops(semiring)
-    if acc_dtype is not None and vg.dtype != acc_dtype:
-        vg = vg.astype(acc_dtype)                        # bf16 -> f32
-    bucket = jax.lax.shift_right_logical(cw, 7)          # (WG, P, R)
-    idx = jnp.bitwise_and(cw, 127).reshape(WG * P, R)
-    gat = None
-    for b in range(K):
-        xb = get_xb(b)                                   # (1, 128)
-        gb = jnp.take_along_axis(
-            jnp.broadcast_to(xb, (WG * P, 128)), idx,
-            axis=1).reshape(WG, P, R)
-        gat = gb if gat is None else jnp.where(bucket == b, gb, gat)
-    return axis_reduce(mul(vg, gat), 1)                  # (WG, R)
 
-
-def _make_window_kernel_resident(K: int, NG: int, P: int, R: int, WG: int,
-                                 semiring: str = "plus_times",
-                                 acc_dtype=None):
-    """Window kernel with x fully VMEM-resident: each 4-tile group slices
-    its K x 128 window out of the resident copy at a 128-aligned dynamic
-    offset — no per-step x DMAs (probe-measured ~35% faster than
-    scalar-steered window fetches).  Two groups share one 8-sublane output
-    write (stores must stay 8-row aligned)."""
-    PAIR = TILES_PER_STEP // WG
-
-    def kernel(wb_ref, vals_ref, cols_ref, x_ref, out_ref):
-        i = pl.program_id(0)
-        v = vals_ref[...]                                # (NG*WG, P, R)
+    def kernel(vals_ref, cols_ref, xw_ref, out_ref):
+        v = vals_ref[...]                                # (NG*wg, P, R)
+        if acc_dtype is not None and v.dtype != acc_dtype:
+            v = v.astype(acc_dtype)                      # bf16 -> f32
         cw = cols_ref[...].astype(jnp.int32)             # int16 -> int32
 
         def group(g):
-            base = wb_ref[i * NG + g] * 128
+            vg = v[g * wg:(g + 1) * wg].reshape(wg * P, R)
+            ix = cw[g * wg:(g + 1) * wg].reshape(wg * P, R)
+            gat = _gather_window(xw_ref, g, ix, K, wg * P)
+            prod = mul(vg, gat)
+            if fold:
+                return axis_reduce(prod, 0)[None, :]     # (1, R)
+            return axis_reduce(prod.reshape(wg, P, R), 1)  # (wg, R)
 
-            def get_xb(b, base=base):
-                start = pl.multiple_of(base + b * 128, 128)
-                return x_ref[0:1, pl.ds(start, 128)]
-            return _group_accumulate(
-                K, WG, P, R, v[g * WG:(g + 1) * WG],
-                cw[g * WG:(g + 1) * WG], get_xb, semiring, acc_dtype)
-
-        for w in range(NG // PAIR):
-            parts = [group(w * PAIR + j) for j in range(PAIR)]
-            res = parts[0] if PAIR == 1 else jnp.concatenate(parts, axis=0)
-            out_ref[w * TILES_PER_STEP:(w + 1) * TILES_PER_STEP, :] = res
-    return kernel
-
-
-def _make_window_kernel(K: int, NG: int, P: int, R: int, WG: int,
-                        semiring: str = "plus_times", acc_dtype=None):
-    """Kernel over one grid step = NG groups of WG=4 tiles; group g
-    gathers from its own K x 128 window (x_refs[g*K + b])."""
-    PAIR = TILES_PER_STEP // WG
-
-    def kernel(wb_ref, vals_ref, cols_ref, *rest):
-        x_refs, out_ref = rest[:NG * K], rest[NG * K]
-        v = vals_ref[...]                                # (NG*WG, P, R)
-        cw = cols_ref[...].astype(jnp.int32)             # int16 -> int32
-
-        def group(g):
-            return _group_accumulate(
-                K, WG, P, R, v[g * WG:(g + 1) * WG],
-                cw[g * WG:(g + 1) * WG],
-                lambda b, g=g: x_refs[g * K + b][...], semiring, acc_dtype)
-
-        for w in range(NG // PAIR):
-            parts = [group(w * PAIR + j) for j in range(PAIR)]
-            res = parts[0] if PAIR == 1 else jnp.concatenate(parts, axis=0)
-            out_ref[w * TILES_PER_STEP:(w + 1) * TILES_PER_STEP, :] = res
+        gs = 8 if fold else 8 // wg         # groups per 8-sublane store
+        for w in range(NG // gs):
+            parts = [group(w * gs + j) for j in range(gs)]
+            out_ref[w * 8:(w + 1) * 8, :] = parts[0] if gs == 1 else \
+                jnp.concatenate(parts, axis=0)
     return kernel
 
 
@@ -207,66 +187,54 @@ def _make_window_kernel(K: int, NG: int, P: int, R: int, WG: int,
 def _spmv_window(plan: SellPlan, x: Array, interpret: bool = False,
                  semiring: str = "plus_times") -> Array:
     T, P, R = plan.vals.shape
-    B = TILES_PER_STEP
-    K = plan.stats.window_blocks
-    G = plan.stats.groups_per_step
+    st = plan.stats
+    wg = st.group_tiles
+    K = st.window_blocks
     if K <= 0:
         raise ValueError(
             "window strategy infeasible for this plan "
             "(stats.window_blocks == 0); rebuild with stripe_width or use "
             "the 'stream' strategy")
-    # pad x so blocks wb .. wb+K-1 always exist
+    step_tiles = TILES_PER_STEP * st.groups_per_step
+    ngroups = T // wg
+    NG = step_tiles // wg
+    fold = st.group_fold and NG % 8 == 0
     acc_dtype = _compute_dtype(plan.vals.dtype)
-    nblocks = max(-(-plan.shape[1] // 128), plan.stats.max_window_base + K)
-    xp = jnp.zeros((1, nblocks * 128), acc_dtype)
-    xp = xp.at[0, :plan.shape[1]].set(jnp.asarray(x, acc_dtype))
 
-    WG = WINDOW_GROUP_TILES
-    NG = (B * G) // WG                        # 4-tile window groups per step
-    import os
-    budget = int(os.environ.get("SPMV_TPU_X_RESIDENT_BYTES",
-                                X_RESIDENT_BUDGET_BYTES))
-    if xp.shape[1] * xp.dtype.itemsize <= budget:
-        grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,                # window_base
-            grid=(T // (B * G),),
-            in_specs=[
-                pl.BlockSpec((B * G, P, R), lambda i, wb: (i, 0, 0)),
-                pl.BlockSpec((B * G, P, R), lambda i, wb: (i, 0, 0)),
-                pl.BlockSpec((1, xp.shape[1]), lambda i, wb: (0, 0)),
-            ],
-            out_specs=pl.BlockSpec((B * G, R), lambda i, wb: (i, 0)),
-        )
-        kernel = _make_window_kernel_resident(K, NG, P, R, WG, semiring,
-                                              acc_dtype)
-        operands = (plan.window_base, plan.vals, plan.cols_win, xp)
+    # ONE XLA row-gather materializes every group's x window; ~556 GB/s
+    # measured for contiguous 512 B rows, vs ~25 scalar cycles per
+    # *in-kernel* dynamic slice (probes/probe_window9.py)
+    nb = max(-(-plan.shape[1] // 128), st.max_window_base + K) + 1
+    xflat = jnp.zeros((nb * 128,), acc_dtype)
+    xflat = xflat.at[:plan.shape[1]].set(jnp.asarray(x, acc_dtype))
+    x2d = xflat.reshape(nb, 128)
+    if plan.window_rows.shape[0] == ngroups * K:
+        rowidx = plan.window_rows
     else:
-        x_specs = [
-            pl.BlockSpec((1, 128),
-                         lambda i, wb, g=g, b=b: (0, wb[i * NG + g] + b))
-            for g in range(NG) for b in range(K)
-        ]
-        grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,                # window_base
-            grid=(T // (B * G),),
-            in_specs=[
-                pl.BlockSpec((B * G, P, R), lambda i, wb: (i, 0, 0)),
-                pl.BlockSpec((B * G, P, R), lambda i, wb: (i, 0, 0)),
-                *x_specs,
-            ],
-            out_specs=pl.BlockSpec((B * G, R), lambda i, wb: (i, 0)),
-        )
-        kernel = _make_window_kernel(K, NG, P, R, WG, semiring, acc_dtype)
-        operands = (plan.window_base, plan.vals, plan.cols_win,
-                    *([xp] * (NG * K)))
-    partials = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((T, R), acc_dtype),
+        # sharded local plans shift window_base in-graph; fall back to
+        # computing the gather rows here
+        wb = jnp.asarray(plan.window_base, jnp.int32)
+        rowidx = jnp.clip(
+            wb[:, None] + jnp.arange(K, dtype=jnp.int32)[None, :],
+            0, nb - 1).reshape(-1)
+    xw = jnp.take(x2d, rowidx, axis=0).reshape(ngroups, K * 128)
+
+    out_rows = ngroups if fold else T
+    out = pl.pallas_call(
+        _make_window_kernel(K, NG, P, R, wg, fold, semiring, acc_dtype),
+        grid=(T // step_tiles,),
+        in_specs=[
+            pl.BlockSpec((step_tiles, P, R), lambda i: (i, 0, 0)),
+            pl.BlockSpec((step_tiles, P, R), lambda i: (i, 0, 0)),
+            pl.BlockSpec((NG, K * 128), lambda i: (i, 0)),
+        ],
+        out_specs=pl.BlockSpec((NG if fold else step_tiles, R),
+                               lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((out_rows, R), acc_dtype),
         interpret=interpret,
-    )(*operands)
-    return _reduce_partials(plan, _fence_interpret(partials, interpret),
-                            semiring)
+    )(plan.vals, plan.cols_win, xw)
+    return _reduce_partials(plan, _fence_interpret(out, interpret),
+                            semiring, per_group=fold)
 
 
 # ---------------------------------------------------------------------------
@@ -309,6 +277,206 @@ def _spmv_stream(plan: SellPlan, x: Array, interpret: bool = False,
 
 
 # ---------------------------------------------------------------------------
+# double-float (f64-parity) paths
+# ---------------------------------------------------------------------------
+
+def _gather_window(xw_ref, g: int, ix, K: int, n: int):
+    """K-block select-merge gather from group g's window row (shared by
+    the f32 and df64 window kernels); ``ix`` in [0, K*128)."""
+    if K == 1:
+        w0 = xw_ref[g:g + 1, 0:128]
+        return jnp.take_along_axis(jnp.broadcast_to(w0, (n, 128)), ix,
+                                   axis=1)
+    bucket = jax.lax.shift_right_logical(ix, 7)
+    i0 = jnp.bitwise_and(ix, 127)
+    gat = None
+    for b in range(K):
+        wb = xw_ref[g:g + 1, b * 128:(b + 1) * 128]
+        gb = jnp.take_along_axis(jnp.broadcast_to(wb, (n, 128)), i0,
+                                 axis=1)
+        gat = gb if gat is None else jnp.where(bucket == b, gb, gat)
+    return gat
+
+
+def _df_product_reduce(vh, vl, xh, xl, wg: int, P: int, R: int):
+    """df64 product + per-tile compensated pairwise reduction:
+    (wg*P, R) hi/lo operands -> (wg, R) hi/lo tile sums with ~2^-48
+    relative error (error-free transformations, ``ops/df64.py``)."""
+    from . import df64
+
+    ph, pe = df64.two_prod(vh, xh)
+    pe = pe + (vh * xl + vl * xh)
+    ph, pe = df64.quick_two_sum(ph, pe)
+    hh = ph.reshape(wg, P, R)
+    ll = pe.reshape(wg, P, R)
+    m = P
+    while m > 1:
+        m //= 2
+        hh, ll = df64.add(hh[:, :m], ll[:, :m], hh[:, m:2 * m],
+                          ll[:, m:2 * m])
+    return hh[:, 0], ll[:, 0]
+
+
+def _make_window_kernel_df(K: int, NG: int, P: int, R: int, wg: int):
+    """df64 window kernel: value hi/lo channel pairs stream as one
+    (2P, R) sublane-stacked tile; x windows arrive as separate hi/lo xw
+    operands.  Emits per-tile (hi, lo) partial rows — the slice/row
+    reductions happen on the host in exact float64 (the pair join makes
+    them exact there; doing them on-device in f32 would break the
+    compensation)."""
+
+    def kernel(vals_ref, cols_ref, xwh_ref, xwl_ref, oh_ref, ol_ref):
+        v = vals_ref[...]                                # (NG*wg, 2P, R)
+        cw = cols_ref[...].astype(jnp.int32)
+
+        def group(g):
+            vg = v[g * wg:(g + 1) * wg]
+            vh = vg[:, :P].reshape(wg * P, R)
+            vl = vg[:, P:].reshape(wg * P, R)
+            ix = cw[g * wg:(g + 1) * wg].reshape(wg * P, R)
+            xh = _gather_window(xwh_ref, g, ix, K, wg * P)
+            xl = _gather_window(xwl_ref, g, ix, K, wg * P)
+            return _df_product_reduce(vh, vl, xh, xl, wg, P, R)
+
+        gs = 8 // wg
+        for w in range(NG // gs):
+            parts = [group(w * gs + j) for j in range(gs)]
+            hi = parts[0][0] if gs == 1 else \
+                jnp.concatenate([p[0] for p in parts], axis=0)
+            lo = parts[0][1] if gs == 1 else \
+                jnp.concatenate([p[1] for p in parts], axis=0)
+            oh_ref[w * 8:(w + 1) * 8, :] = hi
+            ol_ref[w * 8:(w + 1) * 8, :] = lo
+    return kernel
+
+
+def _make_stream_kernel_df(P: int):
+    def kernel(vals_ref, xgh_ref, xgl_ref, oh_ref, ol_ref):
+        v = vals_ref[...]                                # (B, 2P, R)
+        B, _, R = v.shape
+        vh = v[:, :P].reshape(B * P, R)
+        vl = v[:, P:].reshape(B * P, R)
+        hi, lo = _df_product_reduce(vh, vl,
+                                    xgh_ref[...].reshape(B * P, R),
+                                    xgl_ref[...].reshape(B * P, R),
+                                    B, P, R)
+        oh_ref[...] = hi
+        ol_ref[...] = lo
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _spmv_window_df(plan: SellPlan, xh: Array, xl: Array,
+                    interpret: bool = False):
+    T = plan.vals.shape[0]
+    P, R = plan.positions, plan.lane_rows
+    st = plan.stats
+    wg = st.group_tiles
+    K = st.window_blocks
+    step_tiles = TILES_PER_STEP * st.groups_per_step
+    ngroups = T // wg
+    NG = step_tiles // wg
+    nb = max(-(-plan.shape[1] // 128), st.max_window_base + K) + 1
+
+    def xw_of(v):
+        flat = jnp.zeros((nb * 128,), jnp.float32)
+        flat = flat.at[:plan.shape[1]].set(jnp.asarray(v, jnp.float32))
+        x2d = flat.reshape(nb, 128)
+        if plan.window_rows.shape[0] == ngroups * K:
+            rowidx = plan.window_rows
+        else:
+            wb = jnp.asarray(plan.window_base, jnp.int32)
+            rowidx = jnp.clip(
+                wb[:, None] + jnp.arange(K, dtype=jnp.int32)[None, :],
+                0, nb - 1).reshape(-1)
+        return jnp.take(x2d, rowidx, axis=0).reshape(ngroups, K * 128)
+
+    out_sds = jax.ShapeDtypeStruct((T, R), jnp.float32)
+    return pl.pallas_call(
+        _make_window_kernel_df(K, NG, P, R, wg),
+        grid=(T // step_tiles,),
+        in_specs=[
+            pl.BlockSpec((step_tiles, 2 * P, R), lambda i: (i, 0, 0)),
+            pl.BlockSpec((step_tiles, P, R), lambda i: (i, 0, 0)),
+            pl.BlockSpec((NG, K * 128), lambda i: (i, 0)),
+            pl.BlockSpec((NG, K * 128), lambda i: (i, 0)),
+        ],
+        out_specs=[pl.BlockSpec((step_tiles, R), lambda i: (i, 0))] * 2,
+        out_shape=[out_sds, out_sds],
+        interpret=interpret,
+    )(plan.vals, plan.cols_win, xw_of(xh), xw_of(xl))
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _spmv_stream_df(plan: SellPlan, xh: Array, xl: Array,
+                    interpret: bool = False):
+    T = plan.vals.shape[0]
+    P, R = plan.positions, plan.lane_rows
+    B = TILES_PER_STEP * plan.stats.groups_per_step
+    xgh = jnp.take(jnp.asarray(xh, jnp.float32), plan.cols, axis=0)
+    xgl = jnp.take(jnp.asarray(xl, jnp.float32), plan.cols, axis=0)
+    out_sds = jax.ShapeDtypeStruct((T, R), jnp.float32)
+    return pl.pallas_call(
+        _make_stream_kernel_df(P),
+        grid=(T // B,),
+        in_specs=[
+            pl.BlockSpec((B, 2 * P, R), lambda i: (i, 0, 0)),
+            pl.BlockSpec((B, P, R), lambda i: (i, 0, 0)),
+            pl.BlockSpec((B, P, R), lambda i: (i, 0, 0)),
+        ],
+        out_specs=[pl.BlockSpec((B, R), lambda i: (i, 0))] * 2,
+        out_shape=[out_sds, out_sds],
+        interpret=interpret,
+    )(plan.vals, xgh, xgl)
+
+
+def spmv_sell_double(plan: SellPlan, x, *,
+                     strategy: str = "auto",
+                     interpret: Optional[bool] = None):
+    """``y = A @ x`` in f64-equivalent precision from a double SELL plan:
+    float64 x in, float64 y out.  The multiply/within-tile reduction runs
+    on TPU as hi/lo f32 pairs (error-free transformations); the slice and
+    row reductions happen on the host in exact float64 — the device
+    counterpart of the reference's end-to-end double datapath
+    (``SemiringOp.scala:98-154``, ``SparseMatrix.h:5``)."""
+    import numpy as np
+
+    from . import df64
+
+    if not plan.stats.double:
+        raise ValueError("plan was not built with value_dtype=np.float64")
+    if interpret is None:
+        interpret = platform.use_interpret()
+    if strategy == "auto":
+        strategy = "window" if plan.stats.window_blocks > 0 else "stream"
+    xh, xl = df64.split_f64(x)
+    if strategy == "window":
+        yh, yl = _spmv_window_df(plan, xh, xl, interpret=interpret)
+    elif strategy == "stream":
+        yh, yl = _spmv_stream_df(plan, xh, xl, interpret=interpret)
+    else:
+        raise ValueError(f"unknown strategy {strategy!r}")
+    tiles = df64.join_f64(np.asarray(yh), np.asarray(yl))   # (T, R) f64
+    ts = np.asarray(plan.tile_slice)
+    starts = np.searchsorted(ts, np.arange(plan.num_slices))
+    y2d = np.add.reduceat(tiles, starts, axis=0)
+    rows = plan.shape[0]
+    if plan.identity_map:
+        return y2d.reshape(-1)[:rows]
+    p = plan.stats.uniform_parts
+    if p:
+        rps = plan.lane_rows // p
+        acc = y2d[:, :rps]
+        for j in range(1, p):
+            acc = acc + y2d[:, j * rps:(j + 1) * rps]
+        return acc.reshape(-1)[:rows]
+    flat = y2d.reshape(-1)
+    y = np.zeros(rows + 1, np.float64)
+    np.add.at(y, np.asarray(plan.row_map), flat)
+    return y[:rows]
+
+
+# ---------------------------------------------------------------------------
 # public entry
 # ---------------------------------------------------------------------------
 
@@ -346,9 +514,17 @@ def spmv_plan(plan, x: Array, *, strategy: str = "auto",
             return spmv_dia_double(plan, x, interpret=interpret)
         return spmv_dia(plan, x, interpret=interpret)
     if isinstance(plan, HybridPlan):
+        if plan.dia.double:
+            from .spmv_dia import spmv_dia_double
+            return (spmv_dia_double(plan.dia, x, interpret=interpret) +
+                    spmv_plan(plan.rest, x, strategy=strategy,
+                              interpret=interpret))
         return (spmv_dia(plan.dia, x, interpret=interpret) +
                 spmv_plan(plan.rest, x, strategy=strategy,
                           interpret=interpret))
+    if plan.stats.double:
+        return spmv_sell_double(plan, x, strategy=strategy,
+                                interpret=interpret)
     if interpret is None:
         interpret = platform.use_interpret()
     if strategy == "auto":

