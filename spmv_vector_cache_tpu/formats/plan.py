@@ -675,6 +675,12 @@ def _auto_sell_plan(csr: CSR, *, value_dtype, max_window_blocks,
     p = build_sell_plan(csr, sigma=sigma, split=split, **kw)
     if p.stats.window_blocks or p.stats.nnz == 0:
         return p
+    # small x: the resident strategy (x fully VMEM-resident, no locality
+    # needed) beats a striped window plan — striping's sub-row merge is
+    # an unsorted segment scatter, measured ~30x slower than the kernel
+    from ..ops.spmv_pallas import RESIDENT_MAX_BLOCKS
+    if _cdiv(csr.shape[1], 128) <= RESIDENT_MAX_BLOCKS:
+        return p
     # estimate striping overhead: pieces ~= distinct (row, stripe) pairs
     sw = max_window_blocks * 128
     idx = np.asarray(csr.indices, dtype=np.int64) & 0x3FFFFFFF

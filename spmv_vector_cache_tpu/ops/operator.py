@@ -51,6 +51,15 @@ class SparseOperator:
              if isinstance(v, (int, float))})
         self.stats["strategy_window"] = int(self.strategy == "window")
         self.stats["strategy_dia"] = int(self.strategy == "dia")
+        self.stats["strategy_resident"] = int(self.strategy == "resident")
+        # plan-derived per-execution event counters (the reference's
+        # readMissCount/StateProfiler role, SpMVAcceleratorNewCache.scala
+        # :113-130): what one apply will actually do on device
+        from .strategy import execution_counters, plan_bytes_per_apply
+        for k, v in execution_counters(plan, self.strategy).items():
+            self.stats[k] = v
+        self.stats["bytes_per_apply"] = plan_bytes_per_apply(
+            plan, self.strategy)
 
     # -- construction -----------------------------------------------------
     @classmethod
@@ -64,10 +73,14 @@ class SparseOperator:
         role) instead of the structure heuristic.  ``semiring`` selects
         the algebra; the plan's padding is built to match.
         """
+        t0 = time.perf_counter()
         plan = auto_plan(a, value_dtype=value_dtype, semiring=semiring,
                          **plan_kwargs)
+        t_plan = time.perf_counter() - t0
         op = cls(plan.to_device(), strategy=strategy, matrix=a,
                  semiring=semiring)
+        op.stats["plan_seconds"] = t_plan   # per-phase timing (the SCU
+        # timer's preprocessing-phase role, SoftwareSpMV.cpp:72-94)
         if tune and strategy == "auto":
             x = np.ones(a.shape[1], value_dtype)
             results = autotune(op.plan, x, iters=5, stats=op.stats)
@@ -111,6 +124,10 @@ class SparseOperator:
         out_host = np.asarray(out)          # sync (D2H)
         dt = time.perf_counter() - t0
         from .strategy import plan_nnz
+        if "first_exec_seconds" not in self.stats:
+            # first call carries compilation — record it separately (the
+            # plan/compile/execute phase split)
+            self.stats["first_exec_seconds"] = dt
         self.stats["spmvtime"] = dt
         self.stats["gnnz_per_s"] = plan_nnz(self.plan) / dt / 1e9
         if y is not None:

@@ -55,7 +55,14 @@ from ..utils import platform
 
 Array = Any
 
-STRATEGIES = ("window", "stream")
+STRATEGIES = ("window", "resident", "stream")
+
+#: the 'resident' strategy keeps all of x in VMEM and pays one
+#: gather+compare+select per 128-lane x block per value vreg — linear in
+#: the block count, so it is only offered for x up to this many blocks
+#: (measured ~15 Gnnz/s at 64 blocks / 8K cols on a v5e; the window
+#: strategy is preferred wherever the plan found bounded spans)
+RESIDENT_MAX_BLOCKS = 64
 
 
 # ---------------------------------------------------------------------------
@@ -233,6 +240,108 @@ def _spmv_window(plan: SellPlan, x: Array, interpret: bool = False,
         out_shape=jax.ShapeDtypeStruct((out_rows, R), acc_dtype),
         interpret=interpret,
     )(plan.vals, plan.cols_win, xw)
+    return _reduce_partials(plan, _fence_interpret(out, interpret),
+                            semiring, per_group=fold)
+
+
+# ---------------------------------------------------------------------------
+# resident strategy (the randAcc / BufferNone analog, done the TPU way)
+# ---------------------------------------------------------------------------
+
+def _make_resident_kernel(NB: int, NBP: int, NG: int, P: int, R: int,
+                          wg: int, fold: bool, semiring: str,
+                          acc_dtype=None):
+    """Global-column gather against a fully VMEM-resident x: the TPU
+    port of the reference's random-access port (the frontend issues a
+    memory op per operand, ``SpMVFrontendBufferNone.scala:9-175``; here
+    every 'miss' costs VPU work instead of DDR latency).  Per value vreg
+    it pays NB gathers merged by a NB-1-select binary tree keyed on the
+    block-index bits (no per-block compares), gathering from a
+    pre-replicated (wg*P, NB*128) x image so no broadcasts are needed
+    either.  Linear in NB, so the planner caps it
+    (RESIDENT_MAX_BLOCKS); unlike the window kernel it needs NO column
+    locality at all."""
+    from . import semiring as sr
+
+    mul, axis_reduce = sr.kernel_ops(semiring)
+
+    def kernel(vals_ref, cols_ref, x_ref, out_ref):
+        v = vals_ref[...]                                # (NG*wg, P, R)
+        if acc_dtype is not None and v.dtype != acc_dtype:
+            v = v.astype(acc_dtype)
+        c = cols_ref[...].astype(jnp.int32)
+
+        def group(g):
+            vg = v[g * wg:(g + 1) * wg].reshape(wg * P, R)
+            ix = c[g * wg:(g + 1) * wg].reshape(wg * P, R)
+            blk = jax.lax.shift_right_logical(ix, 7)
+            lane = jnp.bitwise_and(ix, 127)
+            bits = [jnp.bitwise_and(
+                jax.lax.shift_right_logical(blk, d), 1) == 1
+                for d in range(max(1, NBP))]
+
+            def tree(lo: int, size: int):
+                if size == 1:
+                    b = min(lo, NB - 1)
+                    return jnp.take_along_axis(
+                        x_ref[:, b * 128:(b + 1) * 128], lane, axis=1)
+                half = size // 2
+                left = tree(lo, half)
+                if lo + half >= NB:
+                    return left
+                right = tree(lo + half, half)
+                d = half.bit_length() - 1     # deciding bit of blk
+                return jnp.where(bits[d], right, left)
+
+            gat = tree(0, 1 << NBP)
+            prod = mul(vg, gat)
+            if fold:
+                return axis_reduce(prod, 0)[None, :]
+            return axis_reduce(prod.reshape(wg, P, R), 1)
+
+        gs = 8 if fold else 8 // wg
+        for w in range(NG // gs):
+            parts = [group(w * gs + j) for j in range(gs)]
+            out_ref[w * 8:(w + 1) * 8, :] = parts[0] if gs == 1 else \
+                jnp.concatenate(parts, axis=0)
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "semiring"))
+def _spmv_resident(plan: SellPlan, x: Array, interpret: bool = False,
+                   semiring: str = "plus_times") -> Array:
+    T, P, R = plan.vals.shape
+    st = plan.stats
+    wg = st.group_tiles
+    NB = -(-plan.shape[1] // 128)
+    if NB > RESIDENT_MAX_BLOCKS:
+        raise ValueError(
+            f"x spans {NB} 128-lane blocks > RESIDENT_MAX_BLOCKS "
+            f"({RESIDENT_MAX_BLOCKS}); the resident strategy's per-block "
+            "select chain would dominate — use 'stream' or restructure")
+    step_tiles = TILES_PER_STEP * st.groups_per_step
+    NG = step_tiles // wg
+    fold = st.group_fold and NG % 8 == 0
+    acc_dtype = _compute_dtype(plan.vals.dtype)
+    NBP = max(1, (NB - 1).bit_length())      # select-tree depth
+    xp = jnp.zeros((1, NB * 128), acc_dtype)
+    xp = xp.at[0, :plan.shape[1]].set(jnp.asarray(x, acc_dtype))
+    xrep = jnp.broadcast_to(xp, (wg * P, NB * 128))
+    out_rows = (T // wg) if fold else T
+    out = pl.pallas_call(
+        _make_resident_kernel(NB, NBP, NG, P, R, wg, fold, semiring,
+                              acc_dtype),
+        grid=(T // step_tiles,),
+        in_specs=[
+            pl.BlockSpec((step_tiles, P, R), lambda i: (i, 0, 0)),
+            pl.BlockSpec((step_tiles, P, R), lambda i: (i, 0, 0)),
+            pl.BlockSpec((wg * P, NB * 128), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((NG if fold else step_tiles, R),
+                               lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((out_rows, R), acc_dtype),
+        interpret=interpret,
+    )(plan.vals, plan.cols, xrep)
     return _reduce_partials(plan, _fence_interpret(out, interpret),
                             semiring, per_group=fold)
 
@@ -528,10 +637,18 @@ def spmv_plan(plan, x: Array, *, strategy: str = "auto",
     if interpret is None:
         interpret = platform.use_interpret()
     if strategy == "auto":
-        strategy = "window" if plan.stats.window_blocks > 0 else "stream"
+        if plan.stats.window_blocks > 0:
+            strategy = "window"
+        elif -(-plan.shape[1] // 128) <= RESIDENT_MAX_BLOCKS:
+            strategy = "resident"
+        else:
+            strategy = "stream"
     x = jnp.asarray(x)
     if strategy == "window":
         return _spmv_window(plan, x, interpret=interpret, semiring=semiring)
+    if strategy == "resident":
+        return _spmv_resident(plan, x, interpret=interpret,
+                              semiring=semiring)
     if strategy == "stream":
         return _spmv_stream(plan, x, interpret=interpret, semiring=semiring)
     raise ValueError(f"unknown strategy {strategy!r}")

@@ -40,10 +40,15 @@ Array = Any
 def select_strategy(plan) -> str:
     """Pick the execution strategy from plan structure counters."""
     from ..formats.dia import DiaPlan, HybridPlan
+    from .spmv_pallas import RESIDENT_MAX_BLOCKS
 
     if isinstance(plan, (DiaPlan, HybridPlan)):
         return "dia"
-    return "window" if plan.stats.window_blocks > 0 else "stream"
+    if plan.stats.window_blocks > 0:
+        return "window"
+    if -(-plan.shape[1] // 128) <= RESIDENT_MAX_BLOCKS:
+        return "resident"
+    return "stream"
 
 
 @dataclasses.dataclass
@@ -82,12 +87,78 @@ def plan_bytes_per_apply(plan, strategy: str = "auto") -> int:
     vals_b = T * P * R * itemsize
     if strategy == "auto":
         strategy = select_strategy(plan)
+    st = plan.stats
+    xw_b = 0
     if strategy == "window":
         idx_b = T * P * R * 2                    # int16 in-window offsets
+        # xw prologue: x2d read + xw write + kernel read of xw
+        xw_b = 3 * (T // st.group_tiles) * st.window_blocks * 128 * 4
+    elif strategy == "resident":
+        idx_b = T * P * R * 4                    # global int32 cols
     else:
         idx_b = T * P * R * 4 * 3                # cols + gathered x (r+w)
-    partials_b = T * R * itemsize * 2            # kernel write + fold read
-    return vals_b + idx_b + partials_b + vec
+    if st.group_fold and strategy in ("window", "resident"):
+        partials_b = (T // st.group_tiles) * R * itemsize
+        if not st.group_slice_identity:
+            partials_b *= 3                      # + segment fold r/w
+    else:
+        partials_b = T * R * itemsize * 3        # kernel write + fold r/w
+    return vals_b + idx_b + xw_b + partials_b + vec
+
+
+def execution_counters(plan, strategy: str = "auto") -> Dict[str, int]:
+    """Plan-derived runtime counters for one apply — the TPU port of the
+    reference's per-execution event counters (readMissCount, FIFO levels,
+    StateProfiler histograms, ``SpMVAcceleratorNewCache.scala:113-130``).
+    Hazards cannot occur by construction, so the observable events are
+    the kernel's actual work terms: grid steps, window switches, gather
+    passes, select-merge ops, and epilogue kind."""
+    from ..formats.dia import DiaPlan, HybridPlan
+
+    if isinstance(plan, HybridPlan):
+        c1 = execution_counters(plan.dia)
+        c2 = execution_counters(plan.rest, strategy)
+        return {k: c1.get(k, 0) + c2.get(k, 0)
+                for k in set(c1) | set(c2)}
+    if strategy == "auto":
+        strategy = select_strategy(plan)
+    if isinstance(plan, DiaPlan):
+        return {
+            "grid_steps": int(plan.vals.shape[0]),
+            "gather_passes": 0,
+            "shift_ops": int(plan.vals.shape[0] * plan.vals.shape[1]),
+            "window_switches": 0,
+            "select_ops": 0,
+            "epilogue_segsum": 0,
+        }
+    st = plan.stats
+    T = st.num_tiles
+    ngroups = T // st.group_tiles
+    vregs = T * plan.positions // 8              # (8,128) value vregs
+    if strategy == "window":
+        K = max(1, st.window_blocks)
+        gathers = vregs * K
+        selects = vregs * (K - 1)
+        switches = ngroups
+    elif strategy == "resident":
+        nb = -(-plan.shape[1] // 128)
+        gathers = vregs * nb
+        selects = vregs * max(0, nb - 1)
+        switches = 0
+    else:                                        # stream: XLA pre-gather
+        gathers = st.nnz
+        selects = 0
+        switches = 0
+    fold = st.group_fold and strategy in ("window", "resident")
+    return {
+        "grid_steps": T // (8 * st.groups_per_step),
+        "window_switches": switches,
+        "gather_passes": gathers,
+        "select_ops": selects,
+        "shift_ops": 0,
+        "epilogue_segsum": int(not (fold and st.group_slice_identity)) +
+        int(not plan.identity_map and not st.uniform_parts),
+    }
 
 
 def _time_device(fn, *args, iters: int = 10) -> float:
@@ -116,7 +187,10 @@ def autotune(plan, x: Array, *, iters: int = 10,
     if isinstance(plan, (DiaPlan, HybridPlan)):
         feasible = ["dia" if isinstance(plan, DiaPlan) else "auto"]
     else:
+        from .spmv_pallas import RESIDENT_MAX_BLOCKS
         feasible = ["stream"]
+        if -(-plan.shape[1] // 128) <= RESIDENT_MAX_BLOCKS:
+            feasible.insert(0, "resident")
         if plan.stats.window_blocks > 0:
             feasible.insert(0, "window")
     nnz = plan_nnz(plan)

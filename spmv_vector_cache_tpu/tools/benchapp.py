@@ -31,7 +31,8 @@ def run_sweep(matrix_dirs: List[str], strategies: List[str], iters: int,
     from ..formats.plan import auto_plan
     from ..ops import reference
     from ..ops.spmv_pallas import spmv_plan
-    from ..ops.strategy import _time_device, plan_nnz
+    from ..ops.strategy import (_time_device, execution_counters,
+                                plan_bytes_per_apply, plan_nnz)
     from ..utils.stats import StatRegistry, csv_rows
 
     registries, extras = [], []
@@ -79,6 +80,13 @@ def run_sweep(matrix_dirs: List[str], strategies: List[str], iters: int,
             stats["gnnz_per_s"] = nnz / dt / 1e9
             stats["diffFromSW"] = diff_sw
             stats["diffFromGolden"] = diff_gold
+            # per-execution event counters + modeled traffic (the
+            # reference CSV's counter columns, HardwareSpMVNewCache.cpp
+            # :189-204)
+            stats.update(execution_counters(plan, strat))
+            bpa = plan_bytes_per_apply(plan, strat)
+            stats["bytes_per_apply"] = bpa
+            stats["achieved_gb_per_s"] = bpa / dt / 1e9
             registries.append(stats)
             extras.append({"matrix": name, "strategy": strat,
                            "status": "ok" if diff_sw == 0 else "MISMATCH",
