@@ -283,6 +283,11 @@ def build_sell_plan(a, *, lane_rows: int = 128, positions: int = 8,
     if double and pad_value != 0.0:
         raise ValueError("double-float plans support plus_times only "
                          "(pad_value must be 0)")
+    if double and positions & (positions - 1):
+        raise ValueError(
+            f"double-float plans need a power-of-two positions (got "
+            f"{positions}): the compensated pairwise reduction halves the "
+            f"sublane axis and would silently drop columns otherwise")
     rows, cols_n = csr.shape
     indptr = np.asarray(csr.indptr, dtype=np.int64)
     indices = (np.asarray(csr.indices, dtype=np.int64) & 0x3FFFFFFF)
@@ -321,6 +326,13 @@ def build_sell_plan(a, *, lane_rows: int = 128, positions: int = 8,
             # empty): slices then tile a fixed rows-per-slice block and
             # the y fixup is one reshape+reduce (see stats.uniform_parts)
             p_parts = max(1, int(_cdiv(int(piece_len.max()), split)))
+            if p_parts > R:
+                # part-major lane placement needs rows_per_slice = R // p
+                # >= 1; more parts than lanes cannot be laid out
+                raise ValueError(
+                    f"uniform_split: max row length {int(piece_len.max())} "
+                    f"needs {p_parts} sub-rows of {split} nnz, more than "
+                    f"lane_rows={R}; raise split or use plain split=")
             pieces = np.full(piece_row.shape[0], p_parts, dtype=np.int64)
         else:
             pieces = np.maximum(1, _cdiv(piece_len, split))
@@ -662,6 +674,10 @@ def _auto_sell_plan(csr: CSR, *, value_dtype, max_window_blocks,
             # matrix (probes/probe_window9.py); fill cost is bounded by
             # the rows' regularity
             usplit = 2 * positions
+            if mx > usplit * lane_rows:
+                # would need more sub-rows than lanes (build_sell_plan
+                # rejects it); very long regular rows take the plain path
+                return build_sell_plan(csr, **kw)
             pu = build_sell_plan(csr, split=usplit, uniform_split=True,
                                  window_group_tiles=max(
                                      1, _cdiv(usplit, positions)), **kw)

@@ -17,7 +17,8 @@ import numpy as np
 
 from .plan import PlanStats, SellPlan, compute_cols_win, compute_window_rows
 
-_FORMAT_VERSION = 2
+# v3: + window_rows array, double (T, 2P, R) vals layout
+_FORMAT_VERSION = 3
 
 
 def config_suffix(plan: SellPlan) -> str:
@@ -56,7 +57,7 @@ def save_plan(plan: SellPlan, path: str) -> str:
 def load_plan(path: str) -> SellPlan:
     with np.load(path) as z:
         meta = json.loads(bytes(z["meta"].tobytes()).decode())
-        if meta["version"] not in (1, _FORMAT_VERSION):
+        if meta["version"] not in (1, 2, _FORMAT_VERSION):
             raise ValueError(f"unsupported plan version {meta['version']}")
         arrays = {name: z[name] for name in SellPlan._array_fields
                   if name in z}

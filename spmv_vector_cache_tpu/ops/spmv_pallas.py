@@ -632,6 +632,10 @@ def spmv_plan(plan, x: Array, *, strategy: str = "auto",
                 spmv_plan(plan.rest, x, strategy=strategy,
                           interpret=interpret))
     if plan.stats.double:
+        if semiring != "plus_times":
+            raise ValueError(
+                f"double-float plans run plus_times only (error-free "
+                f"transformations are +/* identities); got {semiring!r}")
         return spmv_sell_double(plan, x, strategy=strategy,
                                 interpret=interpret)
     if interpret is None:

@@ -238,3 +238,34 @@ def test_bfloat16_mixed_precision_sell(rng):
         assert y.dtype == np.float32                   # f32 accumulation
         rel = np.abs(y - want).max() / max(1.0, np.abs(want).max())
         assert rel < 2e-2                              # bf16 value rounding
+
+
+# ---------------------------------------------------------------------------
+# regression: uniform_split with more parts than lanes (ADVICE r3, high)
+# ---------------------------------------------------------------------------
+
+def _long_regular_rows():
+    """16 rows x 8192 cols, 3000 nnz/row: regular (std=0, mx<=3*mean) but
+    mx/split > lane_rows, which used to ZeroDivision in build_sell_plan."""
+    import scipy.sparse as sp
+    rows, per_row = 16, 3000
+    indices = np.tile(np.arange(per_row, dtype=np.int32), rows)
+    indptr = np.arange(rows + 1, dtype=np.int32) * per_row
+    data = np.ones(rows * per_row, np.float32)
+    return convert.from_scipy(
+        sp.csr_matrix((data, indices, indptr), shape=(rows, 8192)))
+
+
+def test_uniform_split_too_many_parts_raises():
+    a = _long_regular_rows()
+    with pytest.raises(ValueError, match="uniform_split"):
+        planmod.build_sell_plan(a, split=16, uniform_split=True)
+
+
+def test_auto_plan_long_regular_rows_no_crash():
+    a = _long_regular_rows()
+    p = planmod.auto_plan(a, allow_dia=False)      # used to ZeroDivision
+    assert p.stats.nnz == a.nnz
+    x = np.ones(a.shape[1], np.float32)
+    y = np.asarray(spmv_pallas.spmv_plan(p, x))
+    np.testing.assert_allclose(y, _want(a, x), rtol=1e-5)

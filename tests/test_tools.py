@@ -63,9 +63,15 @@ def test_benchapp_sweep_csv():
     lines = buf.getvalue().strip().splitlines()
     assert lines[0].startswith("matrix,strategy,status")
     assert len(lines) == 3
+    header = lines[0].split(",")
+    for col in ("diffFromSW", "diffFromGolden", "gnnz_per_s",
+                "bytes_per_apply"):
+        assert col in header, f"missing CSV column {col}"
     for row in lines[1:]:
-        assert ",ok," in row
-        assert row.rstrip().endswith(",0")  # diffFromGolden == 0
+        cells = dict(zip(header, row.split(",")))
+        assert cells["status"] == "ok"
+        assert cells["diffFromSW"] == "0"
+        assert cells["diffFromGolden"] == "0"
 
 
 def test_benchapp_bad_dir():
