@@ -1,4 +1,7 @@
-from . import analysis, containers, convert, dia, plan, plan_io, refio  # noqa: F401
+from . import (analysis, cached, containers, convert, dia, plan,  # noqa: F401
+               plan_io, refio)
+from .cached import (CachedPlan, build_cached_plan,  # noqa: F401
+                     column_frequency, hot_set_coverage)
 from .containers import BSR, COO, CSC, CSR, ELL  # noqa: F401
 from .dia import (DIA, DiaPlan, HybridPlan, build_dia_plan,  # noqa: F401
                   csr_to_dia, dia_to_csr, from_scipy_dia, split_diagonal)

@@ -649,8 +649,8 @@ def _try_dia_plan(csr: CSR, *, value_dtype, max_window_blocks, lane_rows,
 
 
 def _auto_sell_plan(csr: CSR, *, value_dtype, max_window_blocks,
-                    lane_rows, positions, pad_value: float = 0.0
-                    ) -> SellPlan:
+                    lane_rows, positions, pad_value: float = 0.0,
+                    allow_cached: bool = True):
     lens = np.diff(np.asarray(csr.indptr, dtype=np.int64))
     kw = dict(value_dtype=value_dtype, lane_rows=lane_rows,
               positions=positions, max_window_blocks=max_window_blocks,
@@ -708,6 +708,19 @@ def _auto_sell_plan(csr: CSR, *, value_dtype, max_window_blocks,
     if pieces and p.stats.nnz / pieces >= 4.0:
         return build_sell_plan(csr, sigma=sigma, split=split,
                                stripe_width=sw, **kw)
+    # locality-poor fall-through: a column-popularity hot/cold split
+    # (CachedPlan — the vector-cache analog) beats the flat deep kernel
+    # whenever a small working set covers enough of the nonzeros; the
+    # 0.1 Gnnz/s XLA-gather stream path is never chosen silently
+    if allow_cached and np.dtype(value_dtype) != np.float64:
+        from .cached import build_cached_plan
+
+        cp = build_cached_plan(csr, value_dtype=value_dtype,
+                               max_window_blocks=max_window_blocks,
+                               lane_rows=lane_rows, positions=positions,
+                               pad_value=pad_value)
+        if cp is not None:
+            return cp
     return p
 
 

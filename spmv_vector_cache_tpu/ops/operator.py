@@ -37,6 +37,7 @@ class SparseOperator:
 
     def __init__(self, plan, strategy: str = "auto", matrix=None,
                  semiring: str = "plus_times"):
+        from ..formats.cached import CachedPlan
         from ..formats.dia import HybridPlan
         from . import semiring as sr
 
@@ -45,13 +46,16 @@ class SparseOperator:
         self.strategy = (select_strategy(plan) if strategy == "auto"
                          else strategy)
         self._matrix = matrix              # optional original container
-        stats_src = plan.dia if isinstance(plan, HybridPlan) else plan
+        stats_src = plan.dia if isinstance(plan, HybridPlan) else (
+            plan.hot if isinstance(plan, CachedPlan) else plan)
         self.stats = StatRegistry(
             {k: v for k, v in stats_src.stats.as_dict().items()
              if isinstance(v, (int, float))})
-        self.stats["strategy_window"] = int(self.strategy == "window")
-        self.stats["strategy_dia"] = int(self.strategy == "dia")
-        self.stats["strategy_resident"] = int(self.strategy == "resident")
+        for s in ("window", "dia", "resident", "deep", "cached"):
+            self.stats[f"strategy_{s}"] = int(self.strategy == s)
+        if isinstance(plan, CachedPlan):
+            self.stats["cache_coverage"] = plan.coverage
+            self.stats["cache_hot_cols"] = int(plan.hot_cols.shape[0])
         # plan-derived per-execution event counters (the reference's
         # readMissCount/StateProfiler role, SpMVAcceleratorNewCache.scala
         # :113-130): what one apply will actually do on device

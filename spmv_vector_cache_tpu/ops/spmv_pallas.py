@@ -55,7 +55,7 @@ from ..utils import platform
 
 Array = Any
 
-STRATEGIES = ("window", "resident", "stream")
+STRATEGIES = ("window", "resident", "deep", "stream")
 
 #: the 'resident' strategy keeps all of x in VMEM and pays one
 #: gather+compare+select per 128-lane x block per value vreg — linear in
@@ -63,6 +63,14 @@ STRATEGIES = ("window", "resident", "stream")
 #: (measured ~15 Gnnz/s at 64 blocks / 8K cols on a v5e; the window
 #: strategy is preferred wherever the plan found bounded spans)
 RESIDENT_MAX_BLOCKS = 64
+
+#: the 'deep' strategy extends the resident idea past the unrolled-tree
+#: cap with a fori_loop block sweep (one dynamic sublane slice of x per
+#: block, amortized over the whole step) — still linear in the block
+#: count, so rate ~ c/NB (probes/probe_deep.py); beyond this cap it is
+#: indistinguishable from the XLA-gather floor and the planner should
+#: have chosen a CachedPlan hot/cold split instead
+DEEP_MAX_BLOCKS = 2048
 
 
 # ---------------------------------------------------------------------------
@@ -347,6 +355,79 @@ def _spmv_resident(plan: SellPlan, x: Array, interpret: bool = False,
 
 
 # ---------------------------------------------------------------------------
+# deep strategy (the BufferNone analog past the unrolled-tree cap)
+# ---------------------------------------------------------------------------
+
+def _make_deep_kernel(NB: int, B: int, P: int, R: int, semiring: str,
+                      acc_dtype=None):
+    """Block-major masked-accumulate gather against a VMEM-resident
+    (NB, 128) x image: one ``fori_loop`` over the NB blocks; each
+    iteration pays a single dynamic sublane slice of x (amortized over
+    the whole step's B*P*R nonzeros) plus one gather/compare/select per
+    value vreg.  Linear in NB like the resident select tree, but
+    loop-compiled (no NB-fold code blowup) so it serves x up to
+    DEEP_MAX_BLOCKS — the role of the reference's every-operand-to-DDR
+    variant (``SpMVFrontendBufferNone.scala:9-175``): usable for ANY
+    matrix, never fast, never catastrophic."""
+    from . import semiring as sr
+
+    mul, axis_reduce = sr.kernel_ops(semiring)
+
+    def kernel(vals_ref, cols_ref, x_ref, out_ref):
+        v = vals_ref[...].reshape(B * P, R)
+        if acc_dtype is not None and v.dtype != acc_dtype:
+            v = v.astype(acc_dtype)
+        c = cols_ref[...].reshape(B * P, R)
+        blk = jax.lax.shift_right_logical(c, 7)
+        lane = jnp.bitwise_and(c, 127)
+
+        def body(b, xg):
+            xb = x_ref[pl.ds(b, 1), :]
+            g = jnp.take_along_axis(
+                jnp.broadcast_to(xb, (B * P, R)), lane, axis=1)
+            return jnp.where(blk == b, g, xg)
+
+        # every slot's blk matches exactly one b, so the init value never
+        # survives (padding slots carry col 0 -> block 0's x[0])
+        xg = jax.lax.fori_loop(
+            0, NB, body, jnp.zeros((B * P, R), v.dtype))
+        out_ref[...] = axis_reduce(mul(v, xg).reshape(B, P, R), 1)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "semiring"))
+def _spmv_deep(plan: SellPlan, x: Array, interpret: bool = False,
+               semiring: str = "plus_times") -> Array:
+    T, P, R = plan.vals.shape
+    st = plan.stats
+    NB = -(-plan.shape[1] // 128)
+    if NB > DEEP_MAX_BLOCKS:
+        raise ValueError(
+            f"x spans {NB} 128-lane blocks > DEEP_MAX_BLOCKS "
+            f"({DEEP_MAX_BLOCKS}); build a CachedPlan (hot/cold column "
+            "split) for matrices this wide with no locality")
+    step_tiles = TILES_PER_STEP * st.groups_per_step
+    acc_dtype = _compute_dtype(plan.vals.dtype)
+    xp = jnp.zeros((NB * 128,), acc_dtype)
+    xp = xp.at[:plan.shape[1]].set(jnp.asarray(x, acc_dtype))
+    out = pl.pallas_call(
+        _make_deep_kernel(NB, step_tiles, P, R, semiring, acc_dtype),
+        grid=(T // step_tiles,),
+        in_specs=[
+            pl.BlockSpec((step_tiles, P, R), lambda i: (i, 0, 0)),
+            pl.BlockSpec((step_tiles, P, R), lambda i: (i, 0, 0)),
+            pl.BlockSpec((NB, 128), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((step_tiles, R), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((T, R), acc_dtype),
+        interpret=interpret,
+    )(plan.vals, plan.cols, xp.reshape(NB, 128))
+    return _reduce_partials(plan, _fence_interpret(out, interpret),
+                            semiring)
+
+
+# ---------------------------------------------------------------------------
 # stream strategy
 # ---------------------------------------------------------------------------
 
@@ -605,11 +686,28 @@ def spmv_plan(plan, x: Array, *, strategy: str = "auto",
     (``auto_plan(semiring=...)`` does this); DIA plans support plus_times
     only.
     """
+    from ..formats.cached import CachedPlan
     from ..formats.dia import DiaPlan, HybridPlan
     from . import semiring as sr
     from .spmv_dia import spmv_dia
 
     semiring = sr.get(semiring).name
+    if isinstance(plan, CachedPlan):
+        # hot part on the compact remapped domain (fast kernels apply by
+        # construction), cold tail on the original domain; each nonzero
+        # lives in exactly one part, so the merge is one semiring add —
+        # the two-pipe join of SpMVFrontendBufferSel.scala:125-145
+        s = sr.get(semiring)
+        xd = jnp.asarray(x)
+        y = spmv_plan(plan.hot, jnp.take(xd, jnp.asarray(plan.hot_cols)),
+                      strategy="auto", interpret=interpret,
+                      semiring=semiring)
+        if plan.cold is not None:
+            yc = spmv_plan(plan.cold, xd, strategy="auto",
+                           interpret=interpret, semiring=semiring)
+            # or_and's logical add yields bool; restore the float encoding
+            y = s.add(y, yc).astype(yc.dtype)
+        return y
     if isinstance(plan, (DiaPlan, HybridPlan)) and semiring != "plus_times":
         raise ValueError("DIA plans encode absence as 0 and support only "
                          "plus_times; build a SELL plan via "
@@ -641,11 +739,15 @@ def spmv_plan(plan, x: Array, *, strategy: str = "auto",
     if interpret is None:
         interpret = platform.use_interpret()
     if strategy == "auto":
+        nb = -(-plan.shape[1] // 128)
         if plan.stats.window_blocks > 0:
             strategy = "window"
-        elif -(-plan.shape[1] // 128) <= RESIDENT_MAX_BLOCKS:
+        elif nb <= RESIDENT_MAX_BLOCKS:
             strategy = "resident"
+        elif nb <= DEEP_MAX_BLOCKS:
+            strategy = "deep"
         else:
+            _warn_stream_cliff(plan)
             strategy = "stream"
     x = jnp.asarray(x)
     if strategy == "window":
@@ -653,6 +755,22 @@ def spmv_plan(plan, x: Array, *, strategy: str = "auto",
     if strategy == "resident":
         return _spmv_resident(plan, x, interpret=interpret,
                               semiring=semiring)
+    if strategy == "deep":
+        return _spmv_deep(plan, x, interpret=interpret, semiring=semiring)
     if strategy == "stream":
         return _spmv_stream(plan, x, interpret=interpret, semiring=semiring)
     raise ValueError(f"unknown strategy {strategy!r}")
+
+
+def _warn_stream_cliff(plan) -> None:
+    """The XLA element-gather stream path is ~1000x off roofline
+    (docs/TPU_NOTES.md:44) — never let it be chosen silently (the
+    reference ships no variant remotely that slow under any config)."""
+    import warnings
+
+    warnings.warn(
+        f"SpMV falling back to the 'stream' strategy for a "
+        f"{plan.shape[0]}x{plan.shape[1]} matrix: XLA element gather is "
+        f"~1000x off roofline.  Build the plan with auto_plan (CachedPlan "
+        f"hot/cold split) or restructure; 'stream' is correctness-only.",
+        RuntimeWarning, stacklevel=3)

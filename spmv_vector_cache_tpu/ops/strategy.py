@@ -39,15 +39,23 @@ Array = Any
 
 def select_strategy(plan) -> str:
     """Pick the execution strategy from plan structure counters."""
+    from ..formats.cached import CachedPlan
     from ..formats.dia import DiaPlan, HybridPlan
-    from .spmv_pallas import RESIDENT_MAX_BLOCKS
+    from .spmv_pallas import (DEEP_MAX_BLOCKS, RESIDENT_MAX_BLOCKS,
+                              _warn_stream_cliff)
 
     if isinstance(plan, (DiaPlan, HybridPlan)):
         return "dia"
+    if isinstance(plan, CachedPlan):
+        return "cached"
     if plan.stats.window_blocks > 0:
         return "window"
-    if -(-plan.shape[1] // 128) <= RESIDENT_MAX_BLOCKS:
+    nb = -(-plan.shape[1] // 128)
+    if nb <= RESIDENT_MAX_BLOCKS:
         return "resident"
+    if nb <= DEEP_MAX_BLOCKS:
+        return "deep"
+    _warn_stream_cliff(plan)
     return "stream"
 
 
@@ -59,11 +67,15 @@ class SweepResult:
 
 
 def plan_nnz(plan) -> int:
-    """Populated nonzeros of any plan type (Sell / Dia / Hybrid)."""
+    """Populated nonzeros of any plan type (Sell / Dia / Hybrid / Cached)."""
+    from ..formats.cached import CachedPlan
     from ..formats.dia import HybridPlan
 
     if isinstance(plan, HybridPlan):
-        return plan.dia.stats.nnz + plan.rest.stats.nnz
+        return plan_nnz(plan.dia) + plan_nnz(plan.rest)
+    if isinstance(plan, CachedPlan):
+        return plan_nnz(plan.hot) + (
+            plan_nnz(plan.cold) if plan.cold is not None else 0)
     return plan.stats.nnz
 
 
@@ -73,11 +85,17 @@ def plan_bytes_per_apply(plan, strategy: str = "auto") -> int:
     Counts the streamed plan arrays, the dense vector, and the result."""
     import numpy as np
 
+    from ..formats.cached import CachedPlan
     from ..formats.dia import DiaPlan, HybridPlan
 
     if isinstance(plan, HybridPlan):
         return (plan_bytes_per_apply(plan.dia) +
                 plan_bytes_per_apply(plan.rest, strategy))
+    if isinstance(plan, CachedPlan):
+        b = plan_bytes_per_apply(plan.hot)
+        if plan.cold is not None:
+            b += plan_bytes_per_apply(plan.cold)
+        return b
     itemsize = np.dtype(plan.vals.dtype).itemsize
     rows, cols = plan.shape
     vec = (rows + cols) * itemsize
@@ -93,7 +111,7 @@ def plan_bytes_per_apply(plan, strategy: str = "auto") -> int:
         idx_b = T * P * R * 2                    # int16 in-window offsets
         # xw prologue: x2d read + xw write + kernel read of xw
         xw_b = 3 * (T // st.group_tiles) * st.window_blocks * 128 * 4
-    elif strategy == "resident":
+    elif strategy in ("resident", "deep"):
         idx_b = T * P * R * 4                    # global int32 cols
     else:
         idx_b = T * P * R * 4 * 3                # cols + gathered x (r+w)
@@ -113,6 +131,7 @@ def execution_counters(plan, strategy: str = "auto") -> Dict[str, int]:
     Hazards cannot occur by construction, so the observable events are
     the kernel's actual work terms: grid steps, window switches, gather
     passes, select-merge ops, and epilogue kind."""
+    from ..formats.cached import CachedPlan
     from ..formats.dia import DiaPlan, HybridPlan
 
     if isinstance(plan, HybridPlan):
@@ -120,6 +139,15 @@ def execution_counters(plan, strategy: str = "auto") -> Dict[str, int]:
         c2 = execution_counters(plan.rest, strategy)
         return {k: c1.get(k, 0) + c2.get(k, 0)
                 for k in set(c1) | set(c2)}
+    if isinstance(plan, CachedPlan):
+        c1 = execution_counters(plan.hot)
+        c2 = execution_counters(plan.cold) if plan.cold is not None else {}
+        out = {k: c1.get(k, 0) + c2.get(k, 0) for k in set(c1) | set(c2)}
+        # the cache observability surface: predicted hit/miss volumes
+        # (readMissCount analog, NoWMVectorCache.scala:129-134)
+        out["hot_hits"] = plan_nnz(plan.hot)
+        out["cold_misses"] = plan_nnz(plan.cold) if plan.cold else 0
+        return out
     if strategy == "auto":
         strategy = select_strategy(plan)
     if isinstance(plan, DiaPlan):
@@ -140,7 +168,7 @@ def execution_counters(plan, strategy: str = "auto") -> Dict[str, int]:
         gathers = vregs * K
         selects = vregs * (K - 1)
         switches = ngroups
-    elif strategy == "resident":
+    elif strategy in ("resident", "deep"):
         nb = -(-plan.shape[1] // 128)
         gathers = vregs * nb
         selects = vregs * max(0, nb - 1)
@@ -183,13 +211,18 @@ def autotune(plan, x: Array, *, iters: int = 10,
     from ..formats.dia import DiaPlan, HybridPlan
     from .spmv_pallas import spmv_plan
 
+    from ..formats.cached import CachedPlan
+
     results: Dict[str, SweepResult] = {}
-    if isinstance(plan, (DiaPlan, HybridPlan)):
+    if isinstance(plan, (DiaPlan, HybridPlan, CachedPlan)):
         feasible = ["dia" if isinstance(plan, DiaPlan) else "auto"]
     else:
-        from .spmv_pallas import RESIDENT_MAX_BLOCKS
-        feasible = ["stream"]
-        if -(-plan.shape[1] // 128) <= RESIDENT_MAX_BLOCKS:
+        from .spmv_pallas import DEEP_MAX_BLOCKS, RESIDENT_MAX_BLOCKS
+        nb = -(-plan.shape[1] // 128)
+        feasible = ["stream"]              # explicit sweep measures it too
+        if nb <= DEEP_MAX_BLOCKS:
+            feasible.insert(0, "deep")
+        if nb <= RESIDENT_MAX_BLOCKS:
             feasible.insert(0, "resident")
         if plan.stats.window_blocks > 0:
             feasible.insert(0, "window")
