@@ -116,12 +116,12 @@ def run(NB, B=64):
     def chain(iters):
         @jax.jit
         def f(xr):
-            def step(k, acc):
-                return acc + one(xr)
-            return jax.lax.fori_loop(0, iters, step,
-                                     jnp.zeros_like(y))
+            def step(k, xr):
+                yy = one(xr)
+                return xr.at[0, 0].add(yy[0, 0] * 1e-30)
+            return jax.lax.fori_loop(0, iters, step, xr)[0, :1]
         f_c = f.lower(x8).compile()
-        return lambda: np.asarray(f_c(x8))[0, 0]
+        return lambda: np.asarray(f_c(x8))[0]
 
     dt = roofline.time_marginal(chain, 10, 30)
     nnz = ROWS * NNZ_ROW

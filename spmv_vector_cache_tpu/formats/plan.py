@@ -92,6 +92,12 @@ class PlanStats:
     #: highs in [:, :P] and lows in [:, P:] — the f64-parity datapath
     #: (cf. the reference's DP cores, ``SemiringOp.scala:98-154``)
     double: bool = False
+    #: lane granularity of ``window_base`` (128, 64, or 32).  Finer grain
+    #: lets a window start mid-block, shaving a whole 128-lane block off
+    #: K when group spans straddle block boundaries (a span of 90 needs
+    #: K=2 at grain 128 but K=1 at grain 32); the xw prologue gathers
+    #: from a (128/grain)-way overlapped x image to pay for it
+    window_grain: int = 128
 
     def as_dict(self):
         return dataclasses.asdict(self)
@@ -198,7 +204,8 @@ def _cdiv(a, b):
 
 def compute_cols_win(live: np.ndarray, cols: np.ndarray,
                      window_base: np.ndarray, window_blocks: int,
-                     group_tiles: int = WINDOW_GROUP_TILES) -> np.ndarray:
+                     group_tiles: int = WINDOW_GROUP_TILES,
+                     window_grain: int = 128) -> np.ndarray:
     """In-window column offsets, the windowed kernel's streamed index form.
 
     Live slots (``live`` mask; ``vals != 0`` for plus-times plans) become
@@ -215,24 +222,38 @@ def compute_cols_win(live: np.ndarray, cols: np.ndarray,
     if not window_blocks or not T:
         return np.zeros((0, P, R), np.int16)
     wb_tile = np.repeat(np.asarray(window_base, np.int64), group_tiles)
-    off = cols.astype(np.int64) - (wb_tile * 128)[:, None, None]
+    off = cols.astype(np.int64) - (wb_tile * window_grain)[:, None, None]
     off = np.where(live != 0, off, 0)
     return off.astype(np.int16)
 
 
+def window_image_blocks(num_cols: int, max_window_base: int,
+                        window_blocks: int, window_grain: int = 128) -> int:
+    """Rows (in 128-lane blocks) of the canonical x image the window
+    kernels gather from; shared by the plan-time ``window_rows``
+    precompute and the runtime prologue so the two always agree."""
+    return max(_cdiv(num_cols, 128),
+               _cdiv(max_window_base * window_grain +
+                     window_blocks * 128, 128)) + 1
+
+
 def compute_window_rows(window_base: np.ndarray, window_blocks: int,
-                        num_cols: int) -> np.ndarray:
-    """Precomputed x2d row ids for the window kernel's xw gather (see
+                        num_cols: int,
+                        window_grain: int = 128) -> np.ndarray:
+    """Precomputed x-image row ids for the window kernel's xw gather (see
     SellPlan.window_rows); must mirror the runtime's x image geometry
-    (``spmv_pallas._spmv_window``: nb = max(ceil(cols/128),
-    max_window_base + K) + 1)."""
+    (``spmv_pallas._spmv_window``).  At grain g < 128 the image is
+    (128/g)-way overlapped — its row j covers elements
+    [g*j, g*j + 128) — and a window's k-th block is row
+    ``wb + (128/g)*k``."""
     if not window_blocks:
         return np.zeros((0,), np.int32)
     wb = np.asarray(window_base, np.int64)
-    nb = max(_cdiv(num_cols, 128),
-             int(wb.max(initial=0)) + window_blocks) + 1
-    wr = wb[:, None] + np.arange(window_blocks, dtype=np.int64)[None, :]
-    return np.clip(wr, 0, nb - 1).astype(np.int32).reshape(-1)
+    f = 128 // window_grain
+    nb = window_image_blocks(num_cols, int(wb.max(initial=0)),
+                             window_blocks, window_grain)
+    wr = wb[:, None] + f * np.arange(window_blocks, dtype=np.int64)[None, :]
+    return np.clip(wr, 0, f * nb - 1).astype(np.int32).reshape(-1)
 
 
 def build_sell_plan(a, *, lane_rows: int = 128, positions: int = 8,
@@ -244,7 +265,8 @@ def build_sell_plan(a, *, lane_rows: int = 128, positions: int = 8,
                     value_dtype=np.float32,
                     pad_value: float = 0.0,
                     window_group_tiles: Optional[int] = None,
-                    uniform_split: bool = False) -> SellPlan:
+                    uniform_split: bool = False,
+                    window_grain: Optional[int] = None) -> SellPlan:
     """Build a SELL tile plan from any container (host-side, numpy).
 
     ``split``: max nonzeros per sub-row (None = no splitting).
@@ -262,6 +284,8 @@ def build_sell_plan(a, *, lane_rows: int = 128, positions: int = 8,
     min-plus, ...), so padding contributes nothing to any reduction.
     ``window_group_tiles``: tiles sharing one x-window base (must divide
     TILES_PER_STEP); smaller groups shrink the per-window column span.
+    ``window_grain``: lane granularity of window bases (None = pick the
+    coarsest of 128/64/32 that minimizes K).
     ``uniform_split``: with ``split``, give EVERY row exactly
     ``ceil(max_len/split)`` sub-rows (empty ones padded) and pad every
     slice to the same tile count — a 128-lane slice then covers a fixed
@@ -494,11 +518,27 @@ def build_sell_plan(a, *, lane_rows: int = 128, positions: int = 8,
     cmin = np.where(flat_valid, flat_cols, np.iinfo(np.int32).max).min(axis=1)
     cmax = np.where(flat_valid, flat_cols, -1).max(axis=1)
     any_valid = cmax >= 0
-    wb = np.where(any_valid, cmin, 0) // 128
-    span_blocks = np.where(any_valid, cmax // 128 - wb + 1, 1)
-    window_blocks = int(span_blocks.max()) if T else 1
+    # evaluate window-base granularities finest-first and keep the
+    # COARSEST grain achieving the minimal K: a span of 90 straddling a
+    # block boundary needs K=2 at grain 128 but K=1 at grain <= 32 — one
+    # fewer gather+select per value vreg in the kernel, paid for by a
+    # (128/grain)-way overlapped x image in the xw prologue
+    grains = (128,) if not T else (
+        (window_grain,) if window_grain else (32, 64, 128))
+    best = None                            # (K, -grain, grain, wb)
+    for g in grains:
+        wbg = np.where(any_valid, cmin, 0) // g
+        span = np.where(any_valid,
+                        (cmax - wbg * g) // 128 + 1, 1)
+        kg = int(span.max()) if T else 1
+        cand = (kg, -g, g, wbg)
+        if best is None or cand[:2] < best[:2]:
+            best = cand
+    window_blocks, _, grain, wb = best
     if window_blocks > max_window_blocks:
         window_blocks = 0                  # windowed kernel infeasible
+        grain = 128
+        wb = np.where(any_valid, cmin, 0) // 128
     max_window_base = int(wb.max()) if T else 0
 
     # fuse G groups of 8 tiles per kernel grid step: amortizes the fixed
@@ -546,9 +586,9 @@ def build_sell_plan(a, *, lane_rows: int = 128, positions: int = 8,
         groups_per_step=groups, pad_value=float(pad_value),
         group_tiles=wg, uniform_parts=uniform_parts,
         group_fold=group_fold, group_slice_identity=group_slice_identity,
-        double=double)
+        double=double, window_grain=grain)
 
-    cols_win = compute_cols_win(live, cols, wb, window_blocks, wg)
+    cols_win = compute_cols_win(live, cols, wb, window_blocks, wg, grain)
     if double:
         # hi/lo f32 channel pairs stacked along the sublane axis: the
         # device never sees an f64 array (TPU vector units are f32-only)
@@ -556,7 +596,7 @@ def build_sell_plan(a, *, lane_rows: int = 128, positions: int = 8,
 
         hi, lo = split_f64(vals)
         vals = np.concatenate([hi, lo], axis=1)        # (T, 2P, R)
-    window_rows = compute_window_rows(wb, window_blocks, cols_n)
+    window_rows = compute_window_rows(wb, window_blocks, cols_n, grain)
 
     return SellPlan(vals=vals, cols=cols, cols_win=cols_win,
                     tile_slice=tile_slice,
@@ -768,7 +808,7 @@ def validate_plan(plan: SellPlan, a=None) -> None:
     if K > 0:
         wb = np.asarray(plan.window_base).astype(np.int64)
         step_of_tile = np.arange(T) // plan.stats.group_tiles
-        lo = wb[step_of_tile] * 128
+        lo = wb[step_of_tile] * plan.stats.window_grain
         ok = ~live | ((cols >= lo[:, None, None]) &
                       (cols < (lo + K * 128)[:, None, None]))
         if not ok.all():

@@ -65,10 +65,12 @@ def load_plan(path: str) -> SellPlan:
     if "cols_win" not in arrays:        # version-1 plans predate cols_win
         arrays["cols_win"] = compute_cols_win(
             arrays["vals"] != stats.pad_value, arrays["cols"],
-            arrays["window_base"], stats.window_blocks, stats.group_tiles)
+            arrays["window_base"], stats.window_blocks, stats.group_tiles,
+            stats.window_grain)
     if "window_rows" not in arrays:     # version <=2 plans predate these
         arrays["window_rows"] = compute_window_rows(
-            arrays["window_base"], stats.window_blocks, meta["shape"][1])
+            arrays["window_base"], stats.window_blocks, meta["shape"][1],
+            stats.window_grain)
     return SellPlan(shape=tuple(meta["shape"]), lane_rows=meta["lane_rows"],
                     positions=meta["positions"],
                     identity_map=meta["identity_map"], stats=stats,

@@ -38,6 +38,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..formats.dia import DiaPlan
 from ..utils import platform
+from .spmv_pallas import _fence_interpret
 
 Array = Any
 
@@ -110,6 +111,27 @@ def _make_dia_kernel_windowed(offsets, pad_left: int, S: int, J: int,
     return kernel
 
 
+def _df_diag_accumulate(dec, v_ref, D, S, lane, load_window):
+    """Shared df64 diagonal loop: ``load_window(row_q) -> (wh, wl)``
+    provides each diagonal's (S+8, 128) hi/lo x rows (resident dynamic
+    slice or windowed block assembly)."""
+    from . import df64
+
+    acc_h = jnp.zeros((S, 128), jnp.float32)
+    acc_l = jnp.zeros((S, 128), jnp.float32)
+    for k, (row_q, q, s) in enumerate(dec):
+        wh, wl = load_window(row_q)
+        xh = _shift_lanes(wh[q:q + S + 1], s, S, lane)
+        xl = _shift_lanes(wl[q:q + S + 1], s, S, lane)
+        vh = v_ref[0, k]
+        vl = v_ref[0, D + k]
+        ph, pe = df64.two_prod(vh, xh)
+        pe = pe + (vh * xl + vl * xh)
+        ph, pe = df64.quick_two_sum(ph, pe)
+        acc_h, acc_l = df64.add(acc_h, acc_l, ph, pe)
+    return acc_h, acc_l
+
+
 def _make_dia_kernel_df(offsets, pad_left: int, S: int, D: int):
     """Double-float (f64-equivalent) resident-x kernel: values arrive as
     (hi, lo) f32 channel pairs (vals[:, :D] / vals[:, D:]), x as hi/lo
@@ -117,52 +139,82 @@ def _make_dia_kernel_df(offsets, pad_left: int, S: int, D: int):
     (``ops/df64.py``) so the result carries ~2^-48 relative error —
     precision parity with the reference's double-precision datapath
     (``SemiringOp.scala:98-154``) on f32-only TPU vector hardware."""
-    from . import df64
-
     dec = [_decompose(pad_left, o) for o in offsets]
 
     def kernel(v_ref, xh_ref, xl_ref, oh_ref, ol_ref):
         i = pl.program_id(0)
-        acc_h = jnp.zeros((S, 128), jnp.float32)
-        acc_l = jnp.zeros((S, 128), jnp.float32)
         lane = jax.lax.broadcasted_iota(jnp.int32, (S, 128), 1)
-        for k, (row_q, q, s) in enumerate(dec):
+
+        def load(row_q):
             base = pl.multiple_of(i * S + row_q, 8)
-            wh = xh_ref[pl.ds(base, S + 8), :]
-            wl = xl_ref[pl.ds(base, S + 8), :]
-            xh = _shift_lanes(wh[q:q + S + 1], s, S, lane)
-            xl = _shift_lanes(wl[q:q + S + 1], s, S, lane)
-            vh = v_ref[0, k]
-            vl = v_ref[0, D + k]
-            ph, pe = df64.two_prod(vh, xh)
-            pe = pe + (vh * xl + vl * xh)
-            ph, pe = df64.quick_two_sum(ph, pe)
-            acc_h, acc_l = df64.add(acc_h, acc_l, ph, pe)
-        oh_ref[0] = acc_h
-        ol_ref[0] = acc_l
+            return (xh_ref[pl.ds(base, S + 8), :],
+                    xl_ref[pl.ds(base, S + 8), :])
+
+        oh_ref[0], ol_ref[0] = _df_diag_accumulate(dec, v_ref, D, S, lane,
+                                                   load)
 
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+def _make_dia_kernel_df_windowed(offsets, pad_left: int, S: int, J: int,
+                                 D: int):
+    """df64 kernel for x too large to keep resident: like
+    :func:`_make_dia_kernel_windowed`, step i sees J sliding (S, 128)
+    blocks of EACH of the hi/lo x images, streamed by the Mosaic
+    pipeliner — f64 parity at any matrix size (VERDICT r3 #8)."""
+    dec = [_decompose(pad_left, o) for o in offsets]
+    assert all(row_q + S + 8 <= J * S for row_q, _, _ in dec)
+
+    def kernel(v_ref, *rest):
+        xh_blocks = rest[:J]
+        xl_blocks = rest[J:2 * J]
+        oh_ref, ol_ref = rest[2 * J], rest[2 * J + 1]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (S, 128), 1)
+
+        def assemble(blocks, row_q):
+            j0, r0 = divmod(row_q, S)
+            parts, need = [], S + 8
+            j, r = j0, r0
+            while need > 0:
+                take = min(S - r, need)
+                parts.append(blocks[j][r:r + take])
+                need -= take
+                j, r = j + 1, 0
+            return parts[0] if len(parts) == 1 else \
+                jnp.concatenate(parts, axis=0)
+
+        def load(row_q):
+            return assemble(xh_blocks, row_q), assemble(xl_blocks, row_q)
+
+        oh_ref[0], ol_ref[0] = _df_diag_accumulate(dec, v_ref, D, S, lane,
+                                                   load)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "resident"))
 def spmv_dia_df(plan: DiaPlan, xh: Array, xl: Array,
-                interpret: bool = False):
+                interpret: bool = False,
+                resident: Optional[bool] = None):
     """df64 SpMV from a double DiaPlan: (xh, xl) f32 pair in, (yh, yl)
     f32 pair out — jit-composable; use :func:`spmv_dia_double` for the
-    float64-in/float64-out host convenience wrapper."""
+    float64-in/float64-out host convenience wrapper.
+
+    ``resident``: keep both hi/lo x images in VMEM (fastest) vs stream
+    sliding (S, 128) blocks of each (any matrix size); default decides by
+    the VMEM budget — f64 parity no longer caps at medium sizes."""
     T, D2, S, _ = plan.vals.shape
     D = D2 // 2
     rows, cols = plan.shape
-    x_rows = plan.x_rows
-    # the df64 kernel keeps TWO (x_rows, 128) f32 images resident plus a
-    # (1, 2D, S, 128) double-buffered vals block — roughly twice the f32
-    # path's footprint and (unlike spmv_dia) with no windowed fallback yet
-    footprint = 2 * x_rows * 128 * 4 + 2 * D2 * S * 128 * 4
-    if footprint > 2 * X_RESIDENT_BUDGET_BYTES:
-        raise ValueError(
-            f"matrix too large for the df64 resident kernel (needs "
-            f"{footprint >> 20} MiB VMEM for the hi/lo x images + vals "
-            f"block); shrink the matrix or use the f32/bf16 path")
+    if resident is None:
+        # TWO x images + the double-width vals block must fit
+        footprint = 2 * plan.x_rows * 128 * 4 + 2 * D2 * S * 128 * 4
+        resident = footprint <= 2 * X_RESIDENT_BUDGET_BYTES
+    if resident:
+        x_rows = plan.x_rows
+    else:
+        J = window_blocks_needed(plan)
+        x_rows = -(-max(plan.x_rows, (T + J - 1) * S) // S) * S
 
     def image(v):
         flat = jnp.zeros((x_rows * 128,), jnp.float32)
@@ -170,19 +222,28 @@ def spmv_dia_df(plan: DiaPlan, xh: Array, xl: Array,
             jnp.asarray(v, jnp.float32))
         return flat.reshape(x_rows, 128)
 
-    kernel = _make_dia_kernel_df(plan.offsets, plan.pad_left, S, D)
+    if resident:
+        kernel = _make_dia_kernel_df(plan.offsets, plan.pad_left, S, D)
+        x_specs = [pl.BlockSpec((x_rows, 128), lambda i: (0, 0))] * 2
+        x_ops = [image(xh), image(xl)]
+    else:
+        kernel = _make_dia_kernel_df_windowed(plan.offsets, plan.pad_left,
+                                              S, J, D)
+        x_specs = [pl.BlockSpec((S, 128), lambda i, j=j: (i + j, 0))
+                   for j in range(J)] * 2
+        x_ops = [image(xh)] * J + [image(xl)] * J
     out_sds = jax.ShapeDtypeStruct((T, S, 128), jnp.float32)
     yh, yl = pl.pallas_call(
         kernel,
         grid=(T,),
         in_specs=[pl.BlockSpec((1, D2, S, 128), lambda i: (i, 0, 0, 0)),
-                  pl.BlockSpec((x_rows, 128), lambda i: (0, 0)),
-                  pl.BlockSpec((x_rows, 128), lambda i: (0, 0))],
+                  *x_specs],
         out_specs=[pl.BlockSpec((1, S, 128), lambda i: (i, 0, 0)),
                    pl.BlockSpec((1, S, 128), lambda i: (i, 0, 0))],
         out_shape=[out_sds, out_sds],
         interpret=interpret,
-    )(plan.vals, image(xh), image(xl))
+    )(plan.vals, *x_ops)
+    yh, yl = _fence_interpret((yh, yl), interpret)
     return yh.reshape(-1)[:rows], yl.reshape(-1)[:rows]
 
 
@@ -257,7 +318,7 @@ def _spmv_dia(plan: DiaPlan, x: Array, interpret: bool = False,
         out_shape=jax.ShapeDtypeStruct((T, S, 128), acc_dtype),
         interpret=interpret,
     )(plan.vals, *x_ops)
-    return out.reshape(-1)[:rows]
+    return _fence_interpret(out, interpret).reshape(-1)[:rows]
 
 
 def spmv_dia(plan: DiaPlan, x: Array, *,

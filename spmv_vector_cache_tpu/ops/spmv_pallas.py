@@ -198,6 +198,42 @@ def _make_window_kernel(K: int, NG: int, P: int, R: int, wg: int,
     return kernel
 
 
+def _window_xw(plan: SellPlan, x: Array, ngroups: int, acc_dtype):
+    """Materialize every group's x window with ONE XLA row-gather from a
+    (128/grain)-way overlapped x image — ~556 GB/s for contiguous 512 B
+    rows, vs ~25 scalar cycles per *in-kernel* dynamic slice
+    (probes/probe_window9.py).  Image row j covers elements
+    [grain*j, grain*j + 128), so a window starting at ``wb*grain`` is
+    rows ``wb + f*k`` (f = 128/grain) — the sub-block alignment that
+    shaves K for spans straddling block boundaries."""
+    st = plan.stats
+    K = st.window_blocks
+    g = st.window_grain
+    f = 128 // g
+    from ..formats.plan import window_image_blocks
+
+    nb = window_image_blocks(plan.shape[1], st.max_window_base, K, g)
+    L = nb * 128
+    xflat = jnp.zeros((L + 128,), acc_dtype)
+    xflat = xflat.at[:plan.shape[1]].set(jnp.asarray(x, acc_dtype))
+    if f == 1:
+        x2d = xflat[:L].reshape(nb, 128)
+    else:
+        # x2d[j] == xflat[g*j : g*j + 128]: interleave f shifted copies
+        x2d = jnp.stack([xflat[g * i:g * i + L].reshape(nb, 128)
+                         for i in range(f)], axis=1).reshape(f * nb, 128)
+    if plan.window_rows.shape[0] == ngroups * K:
+        rowidx = plan.window_rows
+    else:
+        # sharded local plans shift window_base in-graph; fall back to
+        # computing the gather rows here
+        wb = jnp.asarray(plan.window_base, jnp.int32)
+        rowidx = jnp.clip(
+            wb[:, None] + f * jnp.arange(K, dtype=jnp.int32)[None, :],
+            0, f * nb - 1).reshape(-1)
+    return jnp.take(x2d, rowidx, axis=0).reshape(ngroups, K * 128)
+
+
 @functools.partial(jax.jit, static_argnames=("interpret", "semiring"))
 def _spmv_window(plan: SellPlan, x: Array, interpret: bool = False,
                  semiring: str = "plus_times") -> Array:
@@ -215,24 +251,7 @@ def _spmv_window(plan: SellPlan, x: Array, interpret: bool = False,
     NG = step_tiles // wg
     fold = st.group_fold and NG % 8 == 0
     acc_dtype = _compute_dtype(plan.vals.dtype)
-
-    # ONE XLA row-gather materializes every group's x window; ~556 GB/s
-    # measured for contiguous 512 B rows, vs ~25 scalar cycles per
-    # *in-kernel* dynamic slice (probes/probe_window9.py)
-    nb = max(-(-plan.shape[1] // 128), st.max_window_base + K) + 1
-    xflat = jnp.zeros((nb * 128,), acc_dtype)
-    xflat = xflat.at[:plan.shape[1]].set(jnp.asarray(x, acc_dtype))
-    x2d = xflat.reshape(nb, 128)
-    if plan.window_rows.shape[0] == ngroups * K:
-        rowidx = plan.window_rows
-    else:
-        # sharded local plans shift window_base in-graph; fall back to
-        # computing the gather rows here
-        wb = jnp.asarray(plan.window_base, jnp.int32)
-        rowidx = jnp.clip(
-            wb[:, None] + jnp.arange(K, dtype=jnp.int32)[None, :],
-            0, nb - 1).reshape(-1)
-    xw = jnp.take(x2d, rowidx, axis=0).reshape(ngroups, K * 128)
+    xw = _window_xw(plan, x, ngroups, acc_dtype)
 
     out_rows = ngroups if fold else T
     out = pl.pallas_call(
@@ -566,23 +585,12 @@ def _spmv_window_df(plan: SellPlan, xh: Array, xl: Array,
     step_tiles = TILES_PER_STEP * st.groups_per_step
     ngroups = T // wg
     NG = step_tiles // wg
-    nb = max(-(-plan.shape[1] // 128), st.max_window_base + K) + 1
 
     def xw_of(v):
-        flat = jnp.zeros((nb * 128,), jnp.float32)
-        flat = flat.at[:plan.shape[1]].set(jnp.asarray(v, jnp.float32))
-        x2d = flat.reshape(nb, 128)
-        if plan.window_rows.shape[0] == ngroups * K:
-            rowidx = plan.window_rows
-        else:
-            wb = jnp.asarray(plan.window_base, jnp.int32)
-            rowidx = jnp.clip(
-                wb[:, None] + jnp.arange(K, dtype=jnp.int32)[None, :],
-                0, nb - 1).reshape(-1)
-        return jnp.take(x2d, rowidx, axis=0).reshape(ngroups, K * 128)
+        return _window_xw(plan, v, ngroups, jnp.float32)
 
     out_sds = jax.ShapeDtypeStruct((T, R), jnp.float32)
-    return pl.pallas_call(
+    out = pl.pallas_call(
         _make_window_kernel_df(K, NG, P, R, wg),
         grid=(T // step_tiles,),
         in_specs=[
@@ -595,6 +603,7 @@ def _spmv_window_df(plan: SellPlan, xh: Array, xl: Array,
         out_shape=[out_sds, out_sds],
         interpret=interpret,
     )(plan.vals, plan.cols_win, xw_of(xh), xw_of(xl))
+    return _fence_interpret(tuple(out), interpret)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -606,7 +615,7 @@ def _spmv_stream_df(plan: SellPlan, xh: Array, xl: Array,
     xgh = jnp.take(jnp.asarray(xh, jnp.float32), plan.cols, axis=0)
     xgl = jnp.take(jnp.asarray(xl, jnp.float32), plan.cols, axis=0)
     out_sds = jax.ShapeDtypeStruct((T, R), jnp.float32)
-    return pl.pallas_call(
+    out = pl.pallas_call(
         _make_stream_kernel_df(P),
         grid=(T // B,),
         in_specs=[
@@ -618,6 +627,7 @@ def _spmv_stream_df(plan: SellPlan, xh: Array, xl: Array,
         out_shape=[out_sds, out_sds],
         interpret=interpret,
     )(plan.vals, xgh, xgl)
+    return _fence_interpret(tuple(out), interpret)
 
 
 def spmv_sell_double(plan: SellPlan, x, *,

@@ -127,9 +127,11 @@ def build_sharded_plan(a, num_shards: int, *, value_dtype=np.float32,
             np.full(rps - (r1 - r0), e1 - e0, np.int64)]).astype(np.int32)
         sub = CSR(data=data[e0:e1], indices=indices[e0:e1],
                   indptr=local_indptr, shape=(rps, cols_n))
+        # grain fixed at 128: the halo mode shifts window_base in-graph
+        # by whole 128-lane blocks (see cols_win invariance note below)
         plans.append(build_sell_plan(
             sub, value_dtype=value_dtype, sigma=sigma, split=split,
-            max_window_blocks=max_window_blocks))
+            max_window_blocks=max_window_blocks, window_grain=128))
 
     wb_feasible_pre = all(p.stats.window_blocks > 0 for p in plans)
     groups = min(p.stats.groups_per_step for p in plans) \

@@ -153,16 +153,49 @@ def test_spmv_sell_double_uniform_split(rng):
     np.testing.assert_allclose(y, m.astype(np.float64) @ x, rtol=1e-11)
 
 
-def test_spmv_dia_df_rejects_oversized(rng):
-    """The df64 resident kernel must refuse matrices whose hi/lo x images
-    exceed the VMEM budget with a clear error (regression: ADVICE r2)."""
-    from spmv_vector_cache_tpu.formats.dia import DIA
+def test_spmv_dia_df_windowed_matches_resident(rng):
+    """The df64 windowed-x kernel (f64 parity at any matrix size,
+    VERDICT r3 #8) must agree with the resident kernel bit-for-bit on a
+    matrix both can serve."""
+    import scipy.sparse as sp
     from spmv_vector_cache_tpu.ops.spmv_dia import spmv_dia_df
+    from spmv_vector_cache_tpu.ops import df64
 
-    n = 6_000_000  # hi+lo images ~ 2 * 24 MB >> budget
-    d = DIA(offsets=np.array([0], np.int64),
-            data=np.ones((1, n), np.float64), shape=(n, n))
-    plan = build_dia_plan(d, value_dtype=np.float64)
-    with pytest.raises(ValueError, match="df64 resident"):
-        spmv_dia_df(plan, np.ones(n, np.float32), np.zeros(n, np.float32),
-                    interpret=True)
+    n, nd = 4096, 5
+    offs = list(range(-(nd // 2), nd // 2 + 1))
+    m = sp.spdiags(rng.standard_normal((nd, n)), offs, n, n).tocsr()
+    m.sort_indices()
+    plan = build_dia_plan(csr_to_dia(convert.from_scipy(
+        m.astype(np.float64))), value_dtype=np.float64)
+    x = rng.standard_normal(n)
+    xh, xl = df64.split_f64(x)
+    yh_r, yl_r = spmv_dia_df(plan, xh, xl, interpret=True, resident=True)
+    yh_w, yl_w = spmv_dia_df(plan, xh, xl, interpret=True, resident=False)
+    np.testing.assert_array_equal(np.asarray(yh_r), np.asarray(yh_w))
+    np.testing.assert_array_equal(np.asarray(yl_r), np.asarray(yl_w))
+    want = m.astype(np.float64) @ x
+    got = df64.join_f64(np.asarray(yh_w), np.asarray(yl_w))
+    # atol floor: elements near zero from cancellation of O(1) terms
+    # carry the absolute (~2^-48 * |terms|) df64 error, not a relative one
+    np.testing.assert_allclose(got, want, rtol=1e-11, atol=1e-13)
+
+
+def test_spmv_dia_double_beyond_old_resident_guard(rng):
+    """A size the resident guard rejects (hi/lo images > VMEM budget)
+    now runs via the windowed kernel instead of raising."""
+    import scipy.sparse as sp
+    from spmv_vector_cache_tpu.ops import spmv_dia as sd
+
+    n = 2_400_000          # 2 x images ~ 2 * 9.4 MB > 16 MB budget
+    m = sp.spdiags(np.ones((3, n)), [-1, 0, 1], n, n).tocsr()
+    m.sort_indices()
+    plan = build_dia_plan(csr_to_dia(convert.from_scipy(
+        m.astype(np.float64))), value_dtype=np.float64)
+    # auto decision must choose the windowed path for this footprint
+    D2, S = plan.vals.shape[1], plan.vals.shape[2]
+    footprint = 2 * plan.x_rows * 128 * 4 + 2 * D2 * S * 128 * 4
+    assert footprint > 2 * sd.X_RESIDENT_BUDGET_BYTES
+    x = rng.standard_normal(n)
+    y = sd.spmv_dia_double(plan, x, interpret=True)
+    want = m.astype(np.float64) @ x
+    np.testing.assert_allclose(y, want, rtol=1e-13, atol=1e-13)
