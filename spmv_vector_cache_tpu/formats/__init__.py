@@ -1,5 +1,6 @@
-from . import (analysis, cached, containers, convert, dia, plan,  # noqa: F401
-               plan_io, refio)
+from . import (analysis, cached, containers, convert, dia, packed,  # noqa: F401
+               plan, plan_io, refio)
+from .packed import PackedPlan, build_packed_plan  # noqa: F401
 from .cached import (CachedPlan, build_cached_plan,  # noqa: F401
                      column_frequency, hot_set_coverage)
 from .containers import BSR, COO, CSC, CSR, ELL  # noqa: F401

@@ -56,7 +56,7 @@ class CachedPlan:
     order)."""
 
     hot: SellPlan
-    cold: Optional[SellPlan]
+    cold: Optional[Any]       # SellPlan, or PackedPlan for ring semirings
     hot_cols: Array                    # (hot_size,) int32, ascending
     shape: Tuple[int, int]
     coverage: float                    # hot nnz / total nnz (hit rate)
@@ -106,7 +106,8 @@ def build_cached_plan(a, *, max_hot: int = 2048,
                       value_dtype=np.float32,
                       max_window_blocks: int = 16,
                       lane_rows: int = 128, positions: int = 8,
-                      pad_value: float = 0.0) -> Optional[CachedPlan]:
+                      pad_value: float = 0.0,
+                      allow_packed: bool = True) -> Optional[CachedPlan]:
     """Split by column popularity; None when the split would not pay.
 
     The hot set is the smallest power-of-two-ish prefix of the
@@ -164,12 +165,24 @@ def build_cached_plan(a, *, max_hot: int = 2048,
     hot_plan = _auto_sell_plan(hot_csr, allow_cached=False, **kw)
     cold_plan = None
     if cold_nnz:
-        cold_lens = lens - hot_lens
-        cold_plan = _auto_sell_plan(CSR(
+        cold_csr = CSR(
             data=data[~is_hot], indices=indices[~is_hot].astype(np.int32),
-            indptr=np.concatenate(([0], np.cumsum(cold_lens))
+            indptr=np.concatenate(([0], np.cumsum(lens - hot_lens))
                                   ).astype(np.int32),
-            shape=(rows, cols)), allow_cached=False, **kw)
+            shape=(rows, cols))
+        if allow_packed:
+            # the popularity tail is locality-poor by construction: the
+            # packed two-pass kernel (the BufferNone analog) runs it at
+            # a bounded per-nnz cost where deep/stream would cliff
+            from .packed import build_packed_plan
+
+            cold_plan = build_packed_plan(cold_csr,
+                                          value_dtype=value_dtype)
+        else:
+            # non-plus_times semirings: packed's segmented-scan
+            # extraction does not apply; keep the SELL fallback
+            cold_plan = _auto_sell_plan(cold_csr, allow_cached=False,
+                                        allow_packed=False, **kw)
     return CachedPlan(hot=hot_plan, cold=cold_plan,
                       hot_cols=hot_ids.astype(np.int32),
                       shape=(rows, cols),

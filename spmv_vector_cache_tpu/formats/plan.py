@@ -655,7 +655,8 @@ def auto_plan(a, *, value_dtype=np.float32, max_window_blocks: int = 16,
     return _auto_sell_plan(csr, value_dtype=value_dtype,
                            max_window_blocks=max_window_blocks,
                            lane_rows=lane_rows, positions=positions,
-                           pad_value=float(s.zero))
+                           pad_value=float(s.zero),
+                           allow_packed=s.name == "plus_times")
 
 
 def _try_dia_plan(csr: CSR, *, value_dtype, max_window_blocks, lane_rows,
@@ -690,7 +691,8 @@ def _try_dia_plan(csr: CSR, *, value_dtype, max_window_blocks, lane_rows,
 
 def _auto_sell_plan(csr: CSR, *, value_dtype, max_window_blocks,
                     lane_rows, positions, pad_value: float = 0.0,
-                    allow_cached: bool = True):
+                    allow_cached: bool = True,
+                    allow_packed: bool = True):
     lens = np.diff(np.asarray(csr.indptr, dtype=np.int64))
     kw = dict(value_dtype=value_dtype, lane_rows=lane_rows,
               positions=positions, max_window_blocks=max_window_blocks,
@@ -749,18 +751,25 @@ def _auto_sell_plan(csr: CSR, *, value_dtype, max_window_blocks,
         return build_sell_plan(csr, sigma=sigma, split=split,
                                stripe_width=sw, **kw)
     # locality-poor fall-through: a column-popularity hot/cold split
-    # (CachedPlan — the vector-cache analog) beats the flat deep kernel
-    # whenever a small working set covers enough of the nonzeros; the
-    # 0.1 Gnnz/s XLA-gather stream path is never chosen silently
+    # (CachedPlan — the vector-cache analog) wins when a small working
+    # set covers enough of the nonzeros; otherwise the packed two-pass
+    # kernel (the BufferNone analog, ``formats/packed.py``) serves any
+    # structure at a bounded per-nnz cost.  The 0.1 Gnnz/s XLA-gather
+    # stream path is never chosen silently.
     if allow_cached and np.dtype(value_dtype) != np.float64:
         from .cached import build_cached_plan
 
         cp = build_cached_plan(csr, value_dtype=value_dtype,
                                max_window_blocks=max_window_blocks,
                                lane_rows=lane_rows, positions=positions,
-                               pad_value=pad_value)
+                               pad_value=pad_value,
+                               allow_packed=allow_packed)
         if cp is not None:
             return cp
+    if allow_packed and np.dtype(value_dtype) != np.float64:
+        from .packed import build_packed_plan
+
+        return build_packed_plan(csr, value_dtype=value_dtype)
     return p
 
 

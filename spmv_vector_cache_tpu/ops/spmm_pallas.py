@@ -135,8 +135,14 @@ def spmm_plan(plan, b: Array, *,
     HybridPlan adds the SELL residual pass.
     """
     from ..formats.dia import DiaPlan, HybridPlan
+    from ..formats.packed import PackedPlan
     from .spmm_dia import spmm_dia, spmm_dia_feasible
 
+    if isinstance(plan, PackedPlan):
+        raise ValueError(
+            "PackedPlan has no fused SpMM kernel; run one spmv_plan per "
+            "RHS column, or build a SELL plan (auto_plan(allow_dia="
+            "False)) when the structure permits")
     if isinstance(plan, DiaPlan):
         if not spmm_dia_feasible(plan):
             raise ValueError(

@@ -698,10 +698,19 @@ def spmv_plan(plan, x: Array, *, strategy: str = "auto",
     """
     from ..formats.cached import CachedPlan
     from ..formats.dia import DiaPlan, HybridPlan
+    from ..formats.packed import PackedPlan
     from . import semiring as sr
     from .spmv_dia import spmv_dia
 
     semiring = sr.get(semiring).name
+    if isinstance(plan, PackedPlan):
+        from .spmv_packed import spmv_packed
+
+        if strategy not in ("auto", "packed"):
+            raise ValueError(f"PackedPlan supports only the 'packed' "
+                             f"strategy, got {strategy!r}")
+        return spmv_packed(plan, x, interpret=interpret,
+                           semiring=semiring)
     if isinstance(plan, CachedPlan):
         # hot part on the compact remapped domain (fast kernels apply by
         # construction), cold tail on the original domain; each nonzero

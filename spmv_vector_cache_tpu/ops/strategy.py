@@ -41,6 +41,7 @@ def select_strategy(plan) -> str:
     """Pick the execution strategy from plan structure counters."""
     from ..formats.cached import CachedPlan
     from ..formats.dia import DiaPlan, HybridPlan
+    from ..formats.packed import PackedPlan
     from .spmv_pallas import (DEEP_MAX_BLOCKS, RESIDENT_MAX_BLOCKS,
                               _warn_stream_cliff)
 
@@ -48,6 +49,8 @@ def select_strategy(plan) -> str:
         return "dia"
     if isinstance(plan, CachedPlan):
         return "cached"
+    if isinstance(plan, PackedPlan):
+        return "packed"
     if plan.stats.window_blocks > 0:
         return "window"
     nb = -(-plan.shape[1] // 128)
@@ -67,7 +70,8 @@ class SweepResult:
 
 
 def plan_nnz(plan) -> int:
-    """Populated nonzeros of any plan type (Sell / Dia / Hybrid / Cached)."""
+    """Populated nonzeros of any plan type (Sell / Dia / Hybrid / Cached
+    / Packed)."""
     from ..formats.cached import CachedPlan
     from ..formats.dia import HybridPlan
 
@@ -96,9 +100,22 @@ def plan_bytes_per_apply(plan, strategy: str = "auto") -> int:
         if plan.cold is not None:
             b += plan_bytes_per_apply(plan.cold)
         return b
+    from ..formats.packed import PackedPlan
+
     itemsize = np.dtype(plan.vals.dtype).itemsize
     rows, cols = plan.shape
     vec = (rows + cols) * itemsize
+    if isinstance(plan, PackedPlan):
+        st = plan.stats
+        slots = st.num_tiles * 1024
+        sps = st.step_tiles * 1024
+        return (slots * (itemsize + 2)           # vals + cols|flag
+                + slots * 4                      # scan S write
+                + st.num_steps_b * sps * 4       # S re-read per visit
+                + st.num_steps_b * 8192 * 2      # esrc tiles
+                + st.num_steps_a * st.chunk_blocks * 128 * 4  # x windows
+                + st.num_windows * 8192 * 4      # y write-back
+                + st.overflow_nnz * 12 + vec)
     if isinstance(plan, DiaPlan):
         return int(np.prod(plan.vals.shape)) * itemsize + vec
     T, P, R = plan.vals.shape
@@ -159,6 +176,22 @@ def execution_counters(plan, strategy: str = "auto") -> Dict[str, int]:
             "select_ops": 0,
             "epilogue_segsum": 0,
         }
+    from ..formats.packed import PackedPlan
+
+    if isinstance(plan, PackedPlan):
+        st = plan.stats
+        vregs_a = st.num_tiles                   # one (8,128) vreg/tile
+        vregs_b = st.num_steps_b * 8             # (64,128) output/visit
+        return {
+            "grid_steps": st.num_steps_a + st.num_steps_b,
+            "window_switches": st.num_chunks,
+            "gather_passes": vregs_a * st.chunk_blocks
+            + vregs_b * st.step_tiles * 8,
+            "select_ops": vregs_a * max(0, st.chunk_blocks - 1)
+            + vregs_b * max(0, st.step_tiles * 8 - 1),
+            "shift_ops": vregs_a * 7,            # segmented-scan stages
+            "epilogue_segsum": int(st.overflow_nnz > 0),
+        }
     st = plan.stats
     T = st.num_tiles
     ngroups = T // st.group_tiles
@@ -213,8 +246,10 @@ def autotune(plan, x: Array, *, iters: int = 10,
 
     from ..formats.cached import CachedPlan
 
+    from ..formats.packed import PackedPlan
+
     results: Dict[str, SweepResult] = {}
-    if isinstance(plan, (DiaPlan, HybridPlan, CachedPlan)):
+    if isinstance(plan, (DiaPlan, HybridPlan, CachedPlan, PackedPlan)):
         feasible = ["dia" if isinstance(plan, DiaPlan) else "auto"]
     else:
         from .spmv_pallas import DEEP_MAX_BLOCKS, RESIDENT_MAX_BLOCKS
