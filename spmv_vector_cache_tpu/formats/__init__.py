@@ -1,8 +1,9 @@
 from . import (analysis, cached, containers, convert, dia, packed,  # noqa: F401
                plan, plan_io, refio)
 from .packed import PackedPlan, build_packed_plan  # noqa: F401
-from .cached import (CachedPlan, build_cached_plan,  # noqa: F401
-                     column_frequency, hot_set_coverage)
+from .cached import (CachedPlan, CooTail, build_cached_plan,  # noqa: F401
+                     column_frequency, coo_tail_from_csr,
+                     hot_set_coverage)
 from .containers import BSR, COO, CSC, CSR, ELL  # noqa: F401
 from .dia import (DIA, DiaPlan, HybridPlan, build_dia_plan,  # noqa: F401
                   csr_to_dia, dia_to_csr, from_scipy_dia, split_diagonal)

@@ -81,6 +81,60 @@ class CachedPlan:
             coverage=self.coverage)
 
 
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class CooTail:
+    """Tiny-residue COO: ``y[rows_idx[i]] (+)= vals[i] (x) x[cols[i]]``.
+
+    Below ~64K nonzeros the XLA element gather + segment scatter
+    (~13 ns/nnz) beats every tiled kernel's fixed machinery (a SELL plan
+    still allocates one lane per *matrix row*, a packed plan one visit
+    per (row-window, chunk) cell).  This is the representation for cache
+    residues — the trickle of accesses past the last tier, priced like
+    the reference's per-operand DDR fallback
+    (``SpMVFrontendBufferNone.scala:9-175``)."""
+
+    vals: Array               # (nnz,) value dtype
+    cols: Array               # (nnz,) int32
+    rows_idx: Array           # (nnz,) int32
+    shape: Tuple[int, int]
+
+    def tree_flatten(self):
+        return (self.vals, self.cols, self.rows_idx), (self.shape,)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        vals, cols, rows_idx = children
+        return cls(vals=vals, cols=cols, rows_idx=rows_idx, shape=aux[0])
+
+    def to_device(self):
+        import jax.numpy as jnp
+
+        return CooTail(vals=jnp.asarray(self.vals),
+                       cols=jnp.asarray(self.cols),
+                       rows_idx=jnp.asarray(self.rows_idx),
+                       shape=self.shape)
+
+    @property
+    def nnz(self) -> int:
+        return int(self.vals.shape[0])
+
+
+#: residues below this many nonzeros run as CooTail
+COO_TAIL_MAX = 65536
+
+
+def coo_tail_from_csr(csr: CSR, value_dtype=np.float32) -> CooTail:
+    lens = np.diff(np.asarray(csr.indptr, dtype=np.int64))
+    rows_idx = np.repeat(np.arange(csr.shape[0], dtype=np.int32),
+                         lens.astype(np.int64))
+    return CooTail(
+        vals=np.asarray(csr.data).astype(value_dtype),
+        cols=(np.asarray(csr.indices, dtype=np.int64)
+              & 0x3FFFFFFF).astype(np.int32),
+        rows_idx=rows_idx, shape=csr.shape)
+
+
 def column_frequency(csr: CSR) -> np.ndarray:
     """Per-column nonzero counts — the popularity analysis that predicts
     cache hit rates (the role ``maxAlive``/``maxColSpan`` play for the
@@ -101,22 +155,38 @@ def hot_set_coverage(csr: CSR, sizes=(256, 512, 1024, 2048, 4096)
     return {int(k): float(cum[min(k, len(cum)) - 1]) / nnz for k in sizes}
 
 
-def build_cached_plan(a, *, max_hot: int = 2048,
+#: rough per-nnz throughput model (Gnnz/s, measured on a v5e) used to
+#: size the hot set.  Window and resident kernels are both K-leaf select
+#: trees over the hot domain's 128-lane blocks, so their rate falls as
+#: ~C/K (window K=2 measured 88, K=16 measured 10.3, resident NB=16
+#: measured 14.5) up to the streaming-bound peak; the cold remainder
+#: runs a deeper cache level or the packed kernel (the ocmDepth sweep's
+#: economics, ``gen-newcache.sh:3``)
+_RATE_PEAK = 90.0
+_RATE_C = 200.0
+_RATE_COLD = 2.0
+
+
+def build_cached_plan(a, *, max_hot: int = 16384,
                       min_coverage: float = 0.5,
                       value_dtype=np.float32,
                       max_window_blocks: int = 16,
                       lane_rows: int = 128, positions: int = 8,
                       pad_value: float = 0.0,
-                      allow_packed: bool = True) -> Optional[CachedPlan]:
+                      allow_packed: bool = True,
+                      levels: int = 3) -> Optional[CachedPlan]:
     """Split by column popularity; None when the split would not pay.
 
-    The hot set is the smallest power-of-two-ish prefix of the
-    popularity order (multiples of 128, capped at ``max_hot``) whose
-    coverage reaches ``min_coverage``; if even ``max_hot`` columns fall
-    short, returns None (no working set to cache — the deep kernel's
-    flat cost is then the best available)."""
-    from .plan import _auto_sell_plan
-
+    The hot set is a power-of-two-ish prefix of the popularity order
+    (capped at ``max_hot``) picked by a throughput model: windowable
+    prefixes (<= 2048 columns) run ~4x faster per nonzero than
+    resident-sized ones (<= 8192), so the model trades hot-kernel speed
+    against cold-tail volume.  The cold tail recurses into up to
+    ``levels - 1`` further cache levels (the popularity tail of a
+    power-law is itself power-law), ending in a packed plan — or, when
+    the tail is too small to amortize the packed kernel's per-cell
+    sweep, a plain windowless SELL plan (deep/stream: bounded cost at
+    tiny sizes)."""
     csr = _as_csr(a)
     rows, cols = csr.shape
     if csr.nnz == 0 or cols <= max_hot:
@@ -125,19 +195,23 @@ def build_cached_plan(a, *, max_hot: int = 2048,
     order = np.argsort(counts, kind="stable")[::-1]
     cum = np.cumsum(counts[order])
     nnz = int(cum[-1])
-    sizes = [h for h in (128, 256, 512, 1024, 2048, 4096, 8192)
+    sizes = [h for h in (128, 256, 512, 1024, 2048, 4096, 8192, 16384)
              if h <= max_hot and h <= cols]
     cov = {h: float(cum[h - 1]) / nnz for h in sizes}
-    hot_size = next((h for h in sizes if cov[h] >= min_coverage), 0)
-    if not hot_size:
+    if cov[sizes[-1]] < min_coverage:
         return None
-    # keep doubling while the working set still grows materially — a
-    # bigger hot set costs ~linearly in the hot kernel but every covered
-    # nonzero leaves the much slower cold pass (the ocmDepth sweep's
-    # economics, gen-newcache.sh:3)
-    for h in sizes:
-        if h > hot_size and cov[h] - cov[hot_size] >= 0.04:
-            hot_size = h
+
+    def est_time(h):
+        rate = min(_RATE_PEAK, _RATE_C / max(1, h // 128))
+        return cov[h] / rate + (1.0 - cov[h]) / _RATE_COLD
+
+    hot_size = min(sizes, key=est_time)
+    # caching must pay: if the best split is not clearly faster than
+    # running everything at the cold rate, there is no working set
+    # (uniform popularity) and the caller's packed/deep path is the
+    # right plan
+    if est_time(hot_size) >= 0.6 / _RATE_COLD:
+        return None
     hot_ids = np.sort(order[:hot_size]).astype(np.int64)
 
     # split nonzeros by membership; remap hot columns ascending so CSR
@@ -156,13 +230,16 @@ def build_cached_plan(a, *, max_hot: int = 2048,
         data=data[is_hot], indices=m[is_hot].astype(np.int32),
         indptr=np.concatenate(([0], np.cumsum(hot_lens))).astype(np.int32),
         shape=(rows, hot_size))
+    from .plan import _auto_sell_plan
+
     cold_nnz = int((~is_hot).sum())
     kw = dict(value_dtype=value_dtype, lane_rows=lane_rows,
               positions=positions, max_window_blocks=max_window_blocks,
               pad_value=pad_value)
     # the compact domain makes the fast kernels apply by construction:
     # window (span <= hot blocks <= 16) or resident (NB <= 64)
-    hot_plan = _auto_sell_plan(hot_csr, allow_cached=False, **kw)
+    hot_plan = _auto_sell_plan(hot_csr, allow_cached=False,
+                               allow_packed=False, **kw)
     cold_plan = None
     if cold_nnz:
         cold_csr = CSR(
@@ -170,20 +247,83 @@ def build_cached_plan(a, *, max_hot: int = 2048,
             indptr=np.concatenate(([0], np.cumsum(lens - hot_lens))
                                   ).astype(np.int32),
             shape=(rows, cols))
-        if allow_packed:
-            # the popularity tail is locality-poor by construction: the
-            # packed two-pass kernel (the BufferNone analog) runs it at
-            # a bounded per-nnz cost where deep/stream would cliff
-            from .packed import build_packed_plan
-
-            cold_plan = build_packed_plan(cold_csr,
-                                          value_dtype=value_dtype)
-        else:
-            # non-plus_times semirings: packed's segmented-scan
-            # extraction does not apply; keep the SELL fallback
-            cold_plan = _auto_sell_plan(cold_csr, allow_cached=False,
-                                        allow_packed=False, **kw)
+        cold_plan = _cold_plan(cold_csr, kw, allow_packed, levels)
     return CachedPlan(hot=hot_plan, cold=cold_plan,
                       hot_cols=hot_ids.astype(np.int32),
                       shape=(rows, cols),
                       coverage=float(nnz - cold_nnz) / nnz)
+
+
+#: a tail whose *distinct* columns fit this many entries collapses into
+#: one full-coverage compact tier (resident kernel over the remapped
+#: domain, no residual) instead of further levels; capped at the
+#: resident strategy's range — beyond it the deep kernel's per-block
+#: cost loses to another popularity split (measured: a 13K-column
+#: full-cover tier ran 4.4 vs the recursive split's 8.3 Gnnz/s)
+FULL_COVER_MAX = 8192
+
+
+def _compact_full_cover(csr: CSR, kw: dict) -> Optional[CachedPlan]:
+    """One tier covering 100%: remap every nonzero column into a compact
+    domain.  Pays whenever the distinct-column count is small, no matter
+    how the popularity is distributed (the degenerate multi-level case:
+    the whole working set fits the last tier)."""
+    from .plan import _auto_sell_plan
+
+    counts = column_frequency(csr)
+    nz_cols = np.flatnonzero(counts)
+    if (nz_cols.shape[0] == 0 or nz_cols.shape[0] > FULL_COVER_MAX
+            or nz_cols.shape[0] == csr.shape[1]):   # nothing to compact
+        return None
+    rows, cols = csr.shape
+    remap = np.full(cols, -1, np.int64)
+    remap[nz_cols] = np.arange(nz_cols.shape[0])
+    indices = np.asarray(csr.indices, dtype=np.int64) & 0x3FFFFFFF
+    hot_csr = CSR(data=np.asarray(csr.data),
+                  indices=remap[indices].astype(np.int32),
+                  indptr=np.asarray(csr.indptr),
+                  shape=(rows, int(nz_cols.shape[0])))
+    hot_plan = _auto_sell_plan(hot_csr, allow_cached=False,
+                               allow_packed=False, **kw)
+    return CachedPlan(hot=hot_plan, cold=None,
+                      hot_cols=nz_cols.astype(np.int32),
+                      shape=(rows, cols), coverage=1.0)
+
+
+def _cold_plan(cold_csr: CSR, kw: dict, allow_packed: bool, levels: int):
+    """Plan the popularity tail.
+
+    A power-law tail is itself power-law, so another cache level keeps
+    winning until the remainder is tiny (the multi-level analog of the
+    reference's single BRAM tier).  A tail whose distinct columns fit
+    one tier collapses into a full-coverage compact level; tiny residues
+    run as :class:`CooTail`; a sizable remainder runs packed when its
+    volume amortizes the packed kernel's per-cell output sweep (~rows x
+    chunks output elements), else a plain windowless SELL plan."""
+    from .plan import _auto_sell_plan, _cdiv
+
+    if cold_csr.nnz <= (1 << 20):
+        # big tails keep recursing (a popularity split still beats one
+        # deep tier there); modest ones collapse outright
+        fc = _compact_full_cover(cold_csr, kw)
+        if fc is not None:
+            return fc
+    if cold_csr.nnz <= COO_TAIL_MAX:
+        return coo_tail_from_csr(cold_csr, value_dtype=kw["value_dtype"])
+    if levels > 1:
+        cp = build_cached_plan(cold_csr, min_coverage=0.3,
+                               allow_packed=allow_packed,
+                               levels=levels - 1, **kw)
+        if cp is not None:
+            return cp
+    rows, cols = cold_csr.shape
+    if allow_packed:
+        nwin = max(1, _cdiv(rows, 8192))
+        nch = max(1, _cdiv(cols, 128 * 128))
+        if cold_csr.nnz >= 100 * nwin * nch:
+            from .packed import build_packed_plan
+
+            return build_packed_plan(cold_csr,
+                                     value_dtype=kw["value_dtype"])
+    return _auto_sell_plan(cold_csr, allow_cached=False,
+                           allow_packed=False, **kw)

@@ -756,6 +756,19 @@ def _auto_sell_plan(csr: CSR, *, value_dtype, max_window_blocks,
     # kernel (the BufferNone analog, ``formats/packed.py``) serves any
     # structure at a bounded per-nnz cost.  The 0.1 Gnnz/s XLA-gather
     # stream path is never chosen silently.
+    from .cached import (COO_TAIL_MAX, _compact_full_cover,
+                         coo_tail_from_csr)
+
+    if np.dtype(value_dtype) != np.float64 and csr.nnz <= (1 << 20):
+        # windowless but narrow working set: remap the distinct columns
+        # into one compact tier (resident/deep kernel, 100% coverage)
+        fc = _compact_full_cover(csr, kw)
+        if fc is not None:
+            return fc
+    if csr.nnz <= COO_TAIL_MAX and np.dtype(value_dtype) != np.float64:
+        # tiny and windowless: the XLA element gather + segment scatter
+        # (~13 ns/nnz) beats every tiled kernel's fixed machinery
+        return coo_tail_from_csr(csr, value_dtype=value_dtype)
     if allow_cached and np.dtype(value_dtype) != np.float64:
         from .cached import build_cached_plan
 

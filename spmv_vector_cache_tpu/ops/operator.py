@@ -37,7 +37,7 @@ class SparseOperator:
 
     def __init__(self, plan, strategy: str = "auto", matrix=None,
                  semiring: str = "plus_times"):
-        from ..formats.cached import CachedPlan
+        from ..formats.cached import CachedPlan, CooTail
         from ..formats.dia import HybridPlan
         from . import semiring as sr
 
@@ -48,10 +48,14 @@ class SparseOperator:
         self._matrix = matrix              # optional original container
         stats_src = plan.dia if isinstance(plan, HybridPlan) else (
             plan.hot if isinstance(plan, CachedPlan) else plan)
-        self.stats = StatRegistry(
-            {k: v for k, v in stats_src.stats.as_dict().items()
-             if isinstance(v, (int, float))})
-        for s in ("window", "dia", "resident", "deep", "cached"):
+        if isinstance(stats_src, CooTail):
+            self.stats = StatRegistry({"nnz": stats_src.nnz})
+        else:
+            self.stats = StatRegistry(
+                {k: v for k, v in stats_src.stats.as_dict().items()
+                 if isinstance(v, (int, float))})
+        for s in ("window", "dia", "resident", "deep", "cached", "packed",
+                  "coo"):
             self.stats[f"strategy_{s}"] = int(self.strategy == s)
         if isinstance(plan, CachedPlan):
             self.stats["cache_coverage"] = plan.coverage

@@ -24,37 +24,45 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..formats.plan import TILES_PER_STEP, WINDOW_GROUP_TILES, SellPlan
 from ..utils import platform
+from .spmv_pallas import _fence_interpret
 
 Array = Any
 
 RHS_CHUNK = 8   # RHS columns per kernel pass (sublane granularity)
 
 
-def _make_spmm_kernel(K: int, NG: int, P: int, R: int, WG: int):
+def _make_spmm_kernel(K: int, NG: int, P: int, R: int, WG: int,
+                      acc_dtype=None):
     """NG groups of WG=4 tiles per step; group g gathers 8 RHS rows from
-    its own K-block window.  The out block's tile axis is not the sublane
-    axis (block (1, step, 8, R)), so 4-tile writes need no pairing."""
-    def kernel(wb_ref, vals_ref, cols_ref, *rest):
+    its own K-block window.  In-window offsets are plan-precomputed int16
+    in [0, K*128) (``cols_win`` — the round-3 SpMV kernel design:
+    ``off >> 7`` picks the block, ``off & 127`` the lane, the K gathered
+    candidates merge with K-1 selects; no per-block subtract/compare/
+    in-bounds mask, and the index stream halves to 2 B).  The out block's
+    tile axis is not the sublane axis (block (1, step, 8, R)), so 4-tile
+    writes need no pairing."""
+    def kernel(wr_ref, vals_ref, cols_ref, *rest):
+        del wr_ref                      # consumed by the index maps only
         bt_refs, out_ref = rest[:NG * K], rest[NG * K]
-        i = pl.program_id(1)
         v = vals_ref[...]                                 # (NG*WG, P, R)
-        cols = cols_ref[...]
+        if acc_dtype is not None and v.dtype != acc_dtype:
+            v = v.astype(acc_dtype)
+        cw = cols_ref[...].astype(jnp.int32)
         for g in range(NG):
-            base = wb_ref[i * NG + g] * 128
-            cg = (cols[g * WG:(g + 1) * WG] - base).reshape(WG * P, R)
+            ix = cw[g * WG:(g + 1) * WG].reshape(WG * P, R)
             vg = v[g * WG:(g + 1) * WG].reshape(WG * P, R)
-            accs = [jnp.zeros((WG * P, R), v.dtype)
-                    for _ in range(RHS_CHUNK)]
-            for b in range(K):
-                off = cg - b * 128
-                inb = (off >= 0) & (off < 128)
-                idx = jnp.where(inb, off, 0)
-                bt = bt_refs[g * K + b][0]                # (8, 128)
-                for c in range(RHS_CHUNK):
+            bucket = jax.lax.shift_right_logical(ix, 7)
+            lane = jnp.bitwise_and(ix, 127)
+            accs = []
+            for c in range(RHS_CHUNK):
+                gat = None
+                for b in range(K):
+                    bt = bt_refs[g * K + b][0, 0]         # (8, 128)
                     src = jnp.broadcast_to(bt[c][None, :], (WG * P, 128))
-                    gat = jnp.take_along_axis(src, idx, axis=1)
-                    accs[c] = accs[c] + \
-                        jnp.where(inb, gat, jnp.zeros((), v.dtype)) * vg
+                    gb = jnp.take_along_axis(src, lane, axis=1)
+                    gat = gb if gat is None else \
+                        jnp.where(bucket == b, gb, gat)
+                accs.append(gat * vg)
             # (8, WG*P, R) -> (WG, 8, R): per-tile sublane sum + transpose
             acc = jnp.stack(accs)                         # (8, WG*P, R)
             per_tile = jnp.sum(acc.reshape(RHS_CHUNK, WG, P, R), axis=2)
@@ -62,52 +70,86 @@ def _make_spmm_kernel(K: int, NG: int, P: int, R: int, WG: int):
     return kernel
 
 
+def _bt_image(bt: Array, k8: int, cols: int, nb: int, grain: int,
+              dtype) -> Array:
+    """(k8, f*nb, RHS_CHUNK, 128) RHS window image: image row j holds
+    columns [grain*j, grain*j + 128) of each RHS in the chunk — the
+    (128/grain)-way overlap that lets sub-block window bases stream as
+    whole (8, 128) tiles (mirror of ``spmv_pallas._window_xw``)."""
+    f = 128 // grain
+    L = nb * 128
+    k = bt.shape[0]
+    btf = jnp.zeros((k8 * RHS_CHUNK, L + 128), dtype)
+    btf = btf.at[:k, :cols].set(jnp.asarray(bt, dtype))
+    btf = btf.reshape(k8, RHS_CHUNK, L + 128)
+    if f == 1:
+        img = btf[:, :, :L].reshape(k8, RHS_CHUNK, nb, 128)
+        return img.transpose(0, 2, 1, 3)
+    img = jnp.stack([btf[:, :, grain * i:grain * i + L]
+                     .reshape(k8, RHS_CHUNK, nb, 128)
+                     for i in range(f)], axis=3)          # (k8,8,nb,f,128)
+    return img.transpose(0, 2, 3, 1, 4).reshape(k8, nb * f, RHS_CHUNK, 128)
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _spmm_window(plan: SellPlan, bt: Array, interpret: bool = False) -> Array:
     """bt: (k, cols) transposed RHS; returns y (rows, k)."""
+    from ..formats.plan import window_image_blocks
+
     T, P, R = plan.vals.shape
+    st = plan.stats
     B = TILES_PER_STEP
-    K = plan.stats.window_blocks
-    G = plan.stats.groups_per_step
+    K = st.window_blocks
+    G = st.groups_per_step
     if K <= 0:
         raise ValueError("window SpMM infeasible for this plan; use the "
                          "reference spmm path")
+    WG = st.group_tiles
+    NG = (B * G) // WG
+    ngroups = T // WG
     k = bt.shape[0]
     k8 = -(-k // RHS_CHUNK)
-    nblocks = max(-(-plan.shape[1] // 128), plan.stats.max_window_base + K)
-    btp = jnp.zeros((k8, RHS_CHUNK, nblocks * 128), plan.vals.dtype)
-    btp = btp.at[:, :, :plan.shape[1]].set(
-        jnp.asarray(bt, plan.vals.dtype).reshape(k8, RHS_CHUNK, -1)
-        if k % RHS_CHUNK == 0 else
-        jnp.pad(jnp.asarray(bt, plan.vals.dtype),
-                ((0, k8 * RHS_CHUNK - k), (0, 0))).reshape(
-                    k8, RHS_CHUNK, -1))
+    gr = st.window_grain
+    f = 128 // gr
+    nb = window_image_blocks(plan.shape[1], st.max_window_base, K, gr)
+    acc_dtype = plan.vals.dtype
+    if jnp.dtype(acc_dtype) == jnp.bfloat16:
+        acc_dtype = jnp.dtype(jnp.float32)
+    btimg = _bt_image(bt, k8, plan.shape[1], nb, gr, acc_dtype)
 
-    WG = WINDOW_GROUP_TILES
-    NG = (B * G) // WG
+    if plan.window_rows.shape[0] == ngroups * K:
+        rowidx = plan.window_rows
+    else:
+        # sharded local plans shift window_base in-graph (grain pinned
+        # to 128 there); compute the gather rows here
+        wb = jnp.asarray(plan.window_base, jnp.int32)
+        rowidx = jnp.clip(
+            wb[:, None] + f * jnp.arange(K, dtype=jnp.int32)[None, :],
+            0, f * nb - 1).reshape(-1)
     bt_specs = [
-        pl.BlockSpec((1, RHS_CHUNK, 128),
-                     lambda kc, i, wb, g=g, b=b: (kc, 0, wb[i * NG + g] + b))
+        pl.BlockSpec((1, 1, RHS_CHUNK, 128),
+                     lambda kc, i, wr, g=g, b=b:
+                     (kc, wr[(i * NG + g) * K + b], 0, 0))
         for g in range(NG) for b in range(K)
     ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(k8, T // (B * G)),
         in_specs=[
-            pl.BlockSpec((B * G, P, R), lambda kc, i, wb: (i, 0, 0)),
-            pl.BlockSpec((B * G, P, R), lambda kc, i, wb: (i, 0, 0)),
+            pl.BlockSpec((B * G, P, R), lambda kc, i, wr: (i, 0, 0)),
+            pl.BlockSpec((B * G, P, R), lambda kc, i, wr: (i, 0, 0)),
             *bt_specs,
         ],
         out_specs=pl.BlockSpec((1, B * G, RHS_CHUNK, R),
-                               lambda kc, i, wb: (kc, i, 0, 0)),
+                               lambda kc, i, wr: (kc, i, 0, 0)),
     )
     partials = pl.pallas_call(
-        _make_spmm_kernel(K, NG, P, R, WG),
+        _make_spmm_kernel(K, NG, P, R, WG, acc_dtype),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((k8, T, RHS_CHUNK, R),
-                                       plan.vals.dtype),
+        out_shape=jax.ShapeDtypeStruct((k8, T, RHS_CHUNK, R), acc_dtype),
         interpret=interpret,
-    )(plan.window_base, plan.vals, plan.cols, *([btp] * (NG * K)))
+    )(rowidx, plan.vals, plan.cols_win, *([btimg] * (NG * K)))
+    partials = _fence_interpret(partials, interpret)
 
     # fold tiles -> slices, then sub-rows -> rows
     y4 = jax.ops.segment_sum(partials.transpose(1, 0, 2, 3),

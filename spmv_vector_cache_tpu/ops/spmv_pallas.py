@@ -696,13 +696,24 @@ def spmv_plan(plan, x: Array, *, strategy: str = "auto",
     (``auto_plan(semiring=...)`` does this); DIA plans support plus_times
     only.
     """
-    from ..formats.cached import CachedPlan
+    from ..formats.cached import CachedPlan, CooTail
     from ..formats.dia import DiaPlan, HybridPlan
     from ..formats.packed import PackedPlan
     from . import semiring as sr
     from .spmv_dia import spmv_dia
 
     semiring = sr.get(semiring).name
+    if isinstance(plan, CooTail):
+        # tiny residues: XLA element gather + segment scatter beats any
+        # tiled kernel's fixed machinery below ~64K nonzeros
+        s = sr.get(semiring)
+        mul, _ = sr.kernel_ops(semiring)
+        xd = jnp.asarray(x)
+        prod = mul(plan.vals.astype(xd.dtype),
+                   jnp.take(xd, plan.cols))
+        rows = plan.shape[0]
+        y = s.segment_reduce(prod, plan.rows_idx, num_segments=rows + 1)
+        return y[:rows]
     if isinstance(plan, PackedPlan):
         from .spmv_packed import spmv_packed
 

@@ -39,7 +39,7 @@ Array = Any
 
 def select_strategy(plan) -> str:
     """Pick the execution strategy from plan structure counters."""
-    from ..formats.cached import CachedPlan
+    from ..formats.cached import CachedPlan, CooTail
     from ..formats.dia import DiaPlan, HybridPlan
     from ..formats.packed import PackedPlan
     from .spmv_pallas import (DEEP_MAX_BLOCKS, RESIDENT_MAX_BLOCKS,
@@ -51,6 +51,8 @@ def select_strategy(plan) -> str:
         return "cached"
     if isinstance(plan, PackedPlan):
         return "packed"
+    if isinstance(plan, CooTail):
+        return "coo"
     if plan.stats.window_blocks > 0:
         return "window"
     nb = -(-plan.shape[1] // 128)
@@ -75,11 +77,15 @@ def plan_nnz(plan) -> int:
     from ..formats.cached import CachedPlan
     from ..formats.dia import HybridPlan
 
+    from ..formats.cached import CooTail
+
     if isinstance(plan, HybridPlan):
         return plan_nnz(plan.dia) + plan_nnz(plan.rest)
     if isinstance(plan, CachedPlan):
         return plan_nnz(plan.hot) + (
             plan_nnz(plan.cold) if plan.cold is not None else 0)
+    if isinstance(plan, CooTail):
+        return plan.nnz
     return plan.stats.nnz
 
 
@@ -100,11 +106,14 @@ def plan_bytes_per_apply(plan, strategy: str = "auto") -> int:
         if plan.cold is not None:
             b += plan_bytes_per_apply(plan.cold)
         return b
+    from ..formats.cached import CooTail
     from ..formats.packed import PackedPlan
 
     itemsize = np.dtype(plan.vals.dtype).itemsize
     rows, cols = plan.shape
     vec = (rows + cols) * itemsize
+    if isinstance(plan, CooTail):
+        return plan.nnz * (itemsize + 8) + vec
     if isinstance(plan, PackedPlan):
         st = plan.stats
         slots = st.num_tiles * 1024
@@ -176,8 +185,15 @@ def execution_counters(plan, strategy: str = "auto") -> Dict[str, int]:
             "select_ops": 0,
             "epilogue_segsum": 0,
         }
+    from ..formats.cached import CooTail
     from ..formats.packed import PackedPlan
 
+    if isinstance(plan, CooTail):
+        return {
+            "grid_steps": 0, "window_switches": 0,
+            "gather_passes": plan.nnz, "select_ops": 0, "shift_ops": 0,
+            "epilogue_segsum": 1,
+        }
     if isinstance(plan, PackedPlan):
         st = plan.stats
         vregs_a = st.num_tiles                   # one (8,128) vreg/tile
@@ -246,10 +262,12 @@ def autotune(plan, x: Array, *, iters: int = 10,
 
     from ..formats.cached import CachedPlan
 
+    from ..formats.cached import CooTail
     from ..formats.packed import PackedPlan
 
     results: Dict[str, SweepResult] = {}
-    if isinstance(plan, (DiaPlan, HybridPlan, CachedPlan, PackedPlan)):
+    if isinstance(plan, (DiaPlan, HybridPlan, CachedPlan, PackedPlan,
+                         CooTail)):
         feasible = ["dia" if isinstance(plan, DiaPlan) else "auto"]
     else:
         from .spmv_pallas import DEEP_MAX_BLOCKS, RESIDENT_MAX_BLOCKS

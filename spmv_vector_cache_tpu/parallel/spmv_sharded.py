@@ -307,17 +307,37 @@ def spmv_sharded(sp: ShardedPlan, x: Array, mesh: Mesh, *,
 
 
 def spmm_sharded(sp: ShardedPlan, b: Array, mesh: Mesh, *,
-                 axis: str = "x") -> Array:
-    """Distributed ``Y = A @ B`` (B replicated, Y row-sharded)."""
+                 axis: str = "x", use_pallas: Optional[bool] = None,
+                 interpret: Optional[bool] = None) -> Array:
+    """Distributed ``Y = A @ B`` (B replicated, Y row-sharded).
+
+    When the plan is window-feasible, each shard runs the fused windowed
+    SpMM Pallas kernel (the nonzero stream amortizes over 8-RHS chunks,
+    ``ops/spmm_pallas.py``); otherwise a portable XLA einsum path."""
+    if interpret is None:
+        interpret = platform.use_interpret()
+    if use_pallas is None:
+        use_pallas = sp.window_blocks > 0
+    use_pallas = use_pallas and sp.window_blocks > 0
     D, rps = sp.num_shards, sp.rows_per_shard
     rows = sp.shape[0]
     num_slices = sp.num_slices
     identity = sp.identity_map
     k = b.shape[1]
 
-    def local_fn(vals, cols, tile_slice, row_map, b_full):
+    from ..ops.spmm_pallas import _spmm_window
+
+    def local_fn(vals, cols, cols_win, tile_slice, window_base, row_map,
+                 b_full):
         vals, cols = vals[0], cols[0]
+        cols_win, window_base = cols_win[0], window_base[0]
         tile_slice, row_map = tile_slice[0], row_map[0]
+        if use_pallas:
+            lp = _local_plan(sp, vals, cols, cols_win, tile_slice,
+                             window_base, row_map, D * rps,
+                             sp.max_window_base)
+            y_local = _spmm_window(lp, b_full.T, interpret=interpret)
+            return y_local[None]
         bg = jnp.take(b_full, cols, axis=0)                 # (T, P, R, k)
         contrib = jnp.einsum("tpr,tprk->trk", vals, bg,
                              preferred_element_type=vals.dtype)
@@ -330,12 +350,15 @@ def spmm_sharded(sp: ShardedPlan, b: Array, mesh: Mesh, *,
         y = jax.ops.segment_sum(flat, row_map, num_segments=rps + 1)
         return y[None, :rps]
 
+    bp = jnp.zeros((D * rps, k), sp.vals.dtype)
+    bp = bp.at[:sp.shape[1]].set(jnp.asarray(b, sp.vals.dtype))
     fn = jax.shard_map(
         local_fn, mesh=mesh,
-        in_specs=(P(axis), P(axis), P(axis), P(axis), P()),
+        in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis), P(axis),
+                  P()),
         out_specs=P(axis), check_vma=False)
-    y = fn(sp.vals, sp.cols, sp.tile_slice, sp.row_map,
-           jnp.asarray(b, sp.vals.dtype))
+    y = fn(sp.vals, sp.cols, sp.cols_win, sp.tile_slice, sp.window_base,
+           sp.row_map, bp)
     return y.reshape(-1, k)[:rows]
 
 

@@ -130,7 +130,17 @@ def test_auto_plan_routes_locality_poor_to_packed_or_cached():
                         shape=(n, n)))
     plan2 = auto_plan(a2)
     assert isinstance(plan2, CachedPlan)
-    assert plan2.cold is None or isinstance(plan2.cold, PackedPlan)
+    # the tail is served by a real plan: a deeper cache level, a packed
+    # plan, or (tiny tails only) a windowless SELL plan whose deep cost
+    # is bounded — never the bare stream cliff at volume
+    cold = plan2.cold
+    while isinstance(cold, CachedPlan):
+        cold = cold.cold
+    if cold is not None and not isinstance(cold, PackedPlan):
+        from spmv_vector_cache_tpu.formats.plan import _cdiv
+        nwin = max(1, _cdiv(cold.shape[0], 8192))
+        nch = max(1, _cdiv(cold.shape[1], 128 * 128))
+        assert cold.stats.nnz < 100 * nwin * nch
     # end-to-end through the dispatcher
     x = rng.standard_normal(n).astype(np.float32)
     y = np.asarray(spmv_plan(plan2.to_device(), x, interpret=True))
