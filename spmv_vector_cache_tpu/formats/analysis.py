@@ -145,6 +145,37 @@ def permute_rows(a: CSR, perm: np.ndarray) -> CSR:
                           col=np.asarray(coo.col), shape=a.shape))
 
 
+def row_spans(a: CSR) -> np.ndarray:
+    """Per-row (last - first) column index, sorted indices — the CSR
+    dual of ``maxColSpan`` (``SparseMatrix.cpp:110-119``): in the CSC
+    dataflow the irregularly-accessed vector is y and its working window
+    per column is the row span; in our CSR dual it is x and the window
+    per row is the *column* span.  Empty rows report 0."""
+    indptr = np.asarray(a.indptr, dtype=np.int64)
+    indices = np.asarray(a.indices, dtype=np.int64) & INDEX_MASK
+    starts, ends = indptr[:-1], indptr[1:]
+    spans = np.zeros(a.shape[0], np.int64)
+    nonempty = ends > starts
+    spans[nonempty] = (indices[ends[nonempty] - 1]
+                       - indices[starts[nonempty]])
+    return spans
+
+
+def column_working_set(a: CSR) -> int:
+    """Peak simultaneously-live *column* count over the row-major
+    nonzero stream — the CSR dual of ``maxAlive``
+    (``SparseMatrix.cpp:92-108``): how many x entries are in flight
+    while the kernel sweeps rows, a lower bound on the residency a
+    cache tier must provide."""
+    indices = np.asarray(a.indices, dtype=np.int64) & INDEX_MASK
+    if indices.shape[0] == 0:
+        return 0
+    alive = np.cumsum(
+        first_touch_mask(indices).astype(np.int64)
+        - first_touch_mask(indices, reverse=True).astype(np.int64))
+    return int(alive.max())
+
+
 def bandwidth(a) -> int:
     """Matrix bandwidth: max |row - col| over nonzeros (selector feature)."""
     if isinstance(a, CSC):
@@ -172,4 +203,8 @@ def summarize(a) -> Dict[str, int]:
     }
     if csc is not None:
         out["maxColSpan"] = max_col_span(csc)
+    if isinstance(a, CSR):
+        spans = row_spans(a)
+        out["maxRowSpan"] = int(spans.max()) if spans.size else 0
+        out["columnWorkingSet"] = column_working_set(a)
     return out

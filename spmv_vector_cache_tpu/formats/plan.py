@@ -547,7 +547,11 @@ def build_sell_plan(a, *, lane_rows: int = 128, positions: int = 8,
     # ~512 tiles/step ≈ 2.5 MB vals+cols per step keeps the fixed cost
     # under ~10% while leaving room for the resident x copy
     if groups_per_step is not None:
-        groups = max(1, groups_per_step)
+        # round up to a multiple of the window-group size: the kernels'
+        # in-place slice fold needs NG = 8*groups/wg divisible by 8
+        # (i.e. groups % wg == 0) — a non-multiple would silently demote
+        # to per-tile output with 3x the partials traffic (r3 weak #7)
+        groups = _cdiv(max(1, groups_per_step), wg) * wg
     else:
         groups = 64 if window_blocks else 8
     step = B * groups
@@ -739,8 +743,31 @@ def _auto_sell_plan(csr: CSR, *, value_dtype, max_window_blocks,
     from ..ops.spmv_pallas import RESIDENT_MAX_BLOCKS
     if _cdiv(csr.shape[1], 128) <= RESIDENT_MAX_BLOCKS:
         return p
-    # estimate striping overhead: pieces ~= distinct (row, stripe) pairs
+    # window-infeasible and wide: the maxAlive / maxColSpan analyses (in
+    # their CSR duals: column working set / per-row column span,
+    # ``SparseMatrix.cpp:92-119``) drive which variant runs — the
+    # reference's core selection thesis
+    from . import analysis
+
+    ws = analysis.column_working_set(csr)
+    if ws <= 2048 and np.dtype(value_dtype) != np.float64:
+        # bounded x working set: a compact tier keeps every live column
+        # resident, beating striping's sub-row merge outright
+        from .cached import _compact_full_cover
+
+        fc = _compact_full_cover(csr, kw)
+        if fc is not None:
+            return fc
+    # striping width from the span distribution: stripes just wide
+    # enough for 95% of rows keep K (and the kernel's select chain)
+    # small without exploding the piece count
+    spans = analysis.row_spans(csr)
+    nz_spans = spans[lens > 0]
+    p95 = int(np.percentile(nz_spans, 95)) if nz_spans.size else 0
     sw = max_window_blocks * 128
+    if 0 < p95 <= sw // 2:
+        sw = max(256, 1 << int(np.ceil(np.log2(max(p95, 1)))))
+    # estimate striping overhead: pieces ~= distinct (row, stripe) pairs
     idx = np.asarray(csr.indices, dtype=np.int64) & 0x3FFFFFFF
     nz_row = np.repeat(np.arange(csr.shape[0], dtype=np.int64), lens)
     stripe = idx // sw

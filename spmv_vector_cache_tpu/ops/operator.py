@@ -74,21 +74,39 @@ class SparseOperator:
     def from_matrix(cls, a, *, strategy: str = "auto",
                     value_dtype=np.float32, tune: bool = False,
                     semiring: str = "plus_times",
+                    tune_store: "str | None" = None,
                     **plan_kwargs) -> "SparseOperator":
         """Plan ``a`` (any container) and select an execution strategy.
 
-        ``tune=True`` runs the timing sweep (the gen-*.sh bitfile-sweep
-        role) instead of the structure heuristic.  ``semiring`` selects
-        the algebra; the plan's padding is built to match.
+        ``tune=True`` runs the timing sweeps (the gen-*.sh bitfile-sweep
+        role) instead of the structure heuristic alone: first the
+        plan-*parameter* sweep (:func:`..ops.tune.autotune_plan` —
+        grid-step width, window group tiles, split, stripe width, DIA
+        sublanes, packed chunk width, cache tier cap), then the strategy
+        sweep on the winning plan.  ``tune_store`` persists winners
+        keyed by structural signature.  ``semiring`` selects the
+        algebra; the plan's padding is built to match.
         """
         t0 = time.perf_counter()
-        plan = auto_plan(a, value_dtype=value_dtype, semiring=semiring,
-                         **plan_kwargs)
+        if tune and not plan_kwargs:
+            from .tune import autotune_plan
+
+            res = autotune_plan(a, value_dtype=value_dtype,
+                                semiring=semiring, store=tune_store)
+            plan = res.plan
+        else:
+            plan = auto_plan(a, value_dtype=value_dtype,
+                             semiring=semiring, **plan_kwargs)
+            res = None
         t_plan = time.perf_counter() - t0
         op = cls(plan.to_device(), strategy=strategy, matrix=a,
                  semiring=semiring)
         op.stats["plan_seconds"] = t_plan   # per-phase timing (the SCU
         # timer's preprocessing-phase role, SoftwareSpMV.cpp:72-94)
+        if res is not None:
+            op.stats["tuned"] = int(res.best != "auto")
+            for e in res.table:
+                op.stats[f"tune_{e.name}_gnnz_per_s"] = e.gnnz_per_s
         if tune and strategy == "auto":
             x = np.ones(a.shape[1], value_dtype)
             results = autotune(op.plan, x, iters=5, stats=op.stats)
