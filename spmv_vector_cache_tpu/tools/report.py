@@ -136,7 +136,21 @@ def large_matrix_rows(quick: bool = False) -> List[Dict[str, Any]]:
                          row=rowblk.astype(np.int32),
                          col=colblk.astype(np.int32), shape=(ns, ns)))
     bench("block_shuffled_band", ash,
-          extra="diagonals destroyed; windowed SELL via column span",
+          extra="band with shuffled blocks; hybrid dia+SELL",
+          i1=20, i2=80)
+
+    # block-diagonal with random in-block offsets (community/FEM class):
+    # every diagonal is sparse (DIA refuses) but spans are bounded —
+    # the general windowed path at full speed on a non-DIA structure
+    rb = np.repeat(np.arange(ns, dtype=np.int64), nd)
+    cb = ((rb // 256) * 256
+          + rng.integers(0, 256, rb.shape[0])).astype(np.int32)
+    abr = coo_to_csr(COO(data=rng.standard_normal(rb.shape[0])
+                         .astype(np.float32),
+                         row=rb.astype(np.int32), col=cb,
+                         shape=(ns, ns)))
+    bench("block_random", abr,
+          extra="non-DIA, bounded spans; general windowed SELL",
           i1=20, i2=80)
 
     # power-law rows (config 2 structure)
