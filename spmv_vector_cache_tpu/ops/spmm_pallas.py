@@ -33,17 +33,17 @@ RHS_CHUNK = 8   # RHS columns per kernel pass (sublane granularity)
 
 def _make_spmm_kernel(K: int, NG: int, P: int, R: int, WG: int,
                       acc_dtype=None):
-    """NG groups of WG=4 tiles per step; group g gathers 8 RHS rows from
-    its own K-block window.  In-window offsets are plan-precomputed int16
-    in [0, K*128) (``cols_win`` — the round-3 SpMV kernel design:
+    """NG groups of WG tiles per step; group g gathers 8 RHS rows from
+    its own K-block window slice of the ONE pre-gathered ``btw`` operand
+    (the round-3 SpMV design: windows arrive as a regular operand, never
+    as per-group block streams — an operand per (group, block) made the
+    pipeline juggle hundreds of 4 KB streams per step, measured ~10x
+    slower).  In-window offsets are plan-precomputed int16 in [0, K*128):
     ``off >> 7`` picks the block, ``off & 127`` the lane, the K gathered
-    candidates merge with K-1 selects; no per-block subtract/compare/
-    in-bounds mask, and the index stream halves to 2 B).  The out block's
-    tile axis is not the sublane axis (block (1, step, 8, R)), so 4-tile
-    writes need no pairing."""
-    def kernel(wr_ref, vals_ref, cols_ref, *rest):
-        del wr_ref                      # consumed by the index maps only
-        bt_refs, out_ref = rest[:NG * K], rest[NG * K]
+    candidates merge with K-1 selects.  The out block's tile axis is not
+    the sublane axis (block (1, step, 8, R)), so WG-tile writes need no
+    pairing."""
+    def kernel(vals_ref, cols_ref, btw_ref, out_ref):
         v = vals_ref[...]                                 # (NG*WG, P, R)
         if acc_dtype is not None and v.dtype != acc_dtype:
             v = v.astype(acc_dtype)
@@ -57,8 +57,8 @@ def _make_spmm_kernel(K: int, NG: int, P: int, R: int, WG: int,
             for c in range(RHS_CHUNK):
                 gat = None
                 for b in range(K):
-                    bt = bt_refs[g * K + b][0, 0]         # (8, 128)
-                    src = jnp.broadcast_to(bt[c][None, :], (WG * P, 128))
+                    row = btw_ref[0, g, c, b * 128:(b + 1) * 128]  # (128,)
+                    src = jnp.broadcast_to(row[None, :], (WG * P, 128))
                     gb = jnp.take_along_axis(src, lane, axis=1)
                     gat = gb if gat is None else \
                         jnp.where(bucket == b, gb, gat)
@@ -70,12 +70,12 @@ def _make_spmm_kernel(K: int, NG: int, P: int, R: int, WG: int,
     return kernel
 
 
-def _bt_image(bt: Array, k8: int, cols: int, nb: int, grain: int,
-              dtype) -> Array:
-    """(k8, f*nb, RHS_CHUNK, 128) RHS window image: image row j holds
-    columns [grain*j, grain*j + 128) of each RHS in the chunk — the
-    (128/grain)-way overlap that lets sub-block window bases stream as
-    whole (8, 128) tiles (mirror of ``spmv_pallas._window_xw``)."""
+def _bt_windows(bt: Array, k8: int, cols: int, nb: int, grain: int,
+                rowidx: Array, ngroups: int, K: int, dtype) -> Array:
+    """(k8, ngroups, RHS_CHUNK, K*128) pre-gathered RHS windows: group
+    g's window holds columns [base_g, base_g + K*128) of each RHS in the
+    chunk, materialized by ONE row-take from a (128/grain)-way
+    overlapped image (mirror of ``spmv_pallas._window_xw``)."""
     f = 128 // grain
     L = nb * 128
     k = bt.shape[0]
@@ -84,11 +84,16 @@ def _bt_image(bt: Array, k8: int, cols: int, nb: int, grain: int,
     btf = btf.reshape(k8, RHS_CHUNK, L + 128)
     if f == 1:
         img = btf[:, :, :L].reshape(k8, RHS_CHUNK, nb, 128)
-        return img.transpose(0, 2, 1, 3)
-    img = jnp.stack([btf[:, :, grain * i:grain * i + L]
-                     .reshape(k8, RHS_CHUNK, nb, 128)
-                     for i in range(f)], axis=3)          # (k8,8,nb,f,128)
-    return img.transpose(0, 2, 3, 1, 4).reshape(k8, nb * f, RHS_CHUNK, 128)
+    else:
+        img = jnp.stack([btf[:, :, grain * i:grain * i + L]
+                         .reshape(k8, RHS_CHUNK, nb, 128)
+                         for i in range(f)], axis=3)      # (k8,8,nb,f,128)
+        img = img.reshape(k8, RHS_CHUNK, nb * f, 128)
+    # (k8, 8, f*nb, 128) -take-> (k8, 8, ngroups*K, 128)
+    g = jnp.take(img, rowidx, axis=2)
+    g = g.reshape(k8, RHS_CHUNK, ngroups, K, 128)
+    return g.transpose(0, 2, 1, 3, 4).reshape(k8, ngroups, RHS_CHUNK,
+                                              K * 128)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -115,7 +120,6 @@ def _spmm_window(plan: SellPlan, bt: Array, interpret: bool = False) -> Array:
     acc_dtype = plan.vals.dtype
     if jnp.dtype(acc_dtype) == jnp.bfloat16:
         acc_dtype = jnp.dtype(jnp.float32)
-    btimg = _bt_image(bt, k8, plan.shape[1], nb, gr, acc_dtype)
 
     if plan.window_rows.shape[0] == ngroups * K:
         rowidx = plan.window_rows
@@ -126,29 +130,25 @@ def _spmm_window(plan: SellPlan, bt: Array, interpret: bool = False) -> Array:
         rowidx = jnp.clip(
             wb[:, None] + f * jnp.arange(K, dtype=jnp.int32)[None, :],
             0, f * nb - 1).reshape(-1)
-    bt_specs = [
-        pl.BlockSpec((1, 1, RHS_CHUNK, 128),
-                     lambda kc, i, wr, g=g, b=b:
-                     (kc, wr[(i * NG + g) * K + b], 0, 0))
-        for g in range(NG) for b in range(K)
-    ]
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+    btw = _bt_windows(bt, k8, plan.shape[1], nb, gr, rowidx, ngroups, K,
+                      acc_dtype)
+    grid_spec = pl.GridSpec(
         grid=(k8, T // (B * G)),
         in_specs=[
-            pl.BlockSpec((B * G, P, R), lambda kc, i, wr: (i, 0, 0)),
-            pl.BlockSpec((B * G, P, R), lambda kc, i, wr: (i, 0, 0)),
-            *bt_specs,
+            pl.BlockSpec((B * G, P, R), lambda kc, i: (i, 0, 0)),
+            pl.BlockSpec((B * G, P, R), lambda kc, i: (i, 0, 0)),
+            pl.BlockSpec((1, NG, RHS_CHUNK, K * 128),
+                         lambda kc, i: (kc, i, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, B * G, RHS_CHUNK, R),
-                               lambda kc, i, wr: (kc, i, 0, 0)),
+                               lambda kc, i: (kc, i, 0, 0)),
     )
     partials = pl.pallas_call(
         _make_spmm_kernel(K, NG, P, R, WG, acc_dtype),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((k8, T, RHS_CHUNK, R), acc_dtype),
         interpret=interpret,
-    )(rowidx, plan.vals, plan.cols_win, *([btimg] * (NG * K)))
+    )(plan.vals, plan.cols_win, btw)
     partials = _fence_interpret(partials, interpret)
 
     # fold tiles -> slices, then sub-rows -> rows

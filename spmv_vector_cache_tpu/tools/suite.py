@@ -157,7 +157,7 @@ def run_suite(iters: int = 20, log=sys.stderr) -> List[Dict[str, Any]]:
                        rtol=1e-3, atol=1e-3)
     dt4b = _chain_time(
         lambda B: spmm_plan(p4b, B, interpret=interp) * np.float32(0.19),
-        b4b, max(iters // 4, 3))
+        b4b, max(iters, 10))
     record("spmm_dia", ok4b, dt4b, p4b.stats.nnz * k4, "nnzRHS")
 
     # --- 5. SpGEMM numeric phase -----------------------------------------
@@ -177,8 +177,12 @@ def run_suite(iters: int = 20, log=sys.stderr) -> List[Dict[str, Any]]:
     ok5 = np.allclose(np.sort(c_data), np.sort(want5.data.astype(np.float32)),
                       rtol=1e-2, atol=1e-2)
     nflops5 = int(np.asarray(gplan.a_src).shape[0])
+    # the chain carry must keep A's data shape: consume C's data by a
+    # reduction folded back into the carry
     dt5 = _chain_time(
-        lambda d: spgemm.spgemm_numeric(gplan_d, d, ad) * np.float32(0.5),
+        lambda d: d * np.float32(0.999)
+        + jnp.sum(spgemm.spgemm_numeric(gplan_d, d, ad))
+        * np.float32(1e-30),
         ad, max(iters // 2, 3))
     record("spgemm_numeric", ok5, dt5, 2 * nflops5, "FLOP")
 
