@@ -167,7 +167,7 @@ def main():
 
     # --- general path on a NON-DIA-friendly matrix (stderr detail) ---------
     # block-diagonal with random fill (community / FEM-class structure):
-    # each row's 27 nonzeros land at random offsets inside its 256-column
+    # each row's 27 nonzeros land at random offsets inside its 128-column
     # block, so every diagonal is sparse (DIA refuses) but the windowed
     # SELL machinery sees bounded spans
     try:
@@ -175,7 +175,7 @@ def main():
         from spmv_vector_cache_tpu.formats.convert import coo_to_csr
 
         ns = n >> 1
-        blk = 256
+        blk = 128
         rsh = np.repeat(np.arange(ns, dtype=np.int64), ndiag)
         csh = ((rsh // blk) * blk
                + rng.integers(0, blk, rsh.shape[0])).astype(np.int32)

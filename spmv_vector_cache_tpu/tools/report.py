@@ -143,8 +143,8 @@ def large_matrix_rows(quick: bool = False) -> List[Dict[str, Any]]:
     # every diagonal is sparse (DIA refuses) but spans are bounded —
     # the general windowed path at full speed on a non-DIA structure
     rb = np.repeat(np.arange(ns, dtype=np.int64), nd)
-    cb = ((rb // 256) * 256
-          + rng.integers(0, 256, rb.shape[0])).astype(np.int32)
+    cb = ((rb // 128) * 128
+          + rng.integers(0, 128, rb.shape[0])).astype(np.int32)
     abr = coo_to_csr(COO(data=rng.standard_normal(rb.shape[0])
                          .astype(np.float32),
                          row=rb.astype(np.int32), col=cb,
