@@ -23,6 +23,35 @@ from typing import List
 import numpy as np
 
 
+def _chain_marginal(plan, x0, strat: str, i1: int = 10,
+                    i2: int = 40) -> float:
+    """Marginal per-apply device time over chained applies.
+
+    Round-4 used per-dispatch timing here, which reported the remote
+    tunnel's ~1.7 ms enqueue cost, not kernel time — every bundled
+    (tiny) matrix looked 10-1000x slower than it is.  Chained fori_loop
+    two-point timing (the report.py/bench.py methodology,
+    ``utils/roofline.time_marginal``) cancels all fixed per-call costs,
+    mirroring the reference reading cycle counters around only the hot
+    phase (``HardwareSpMVNewCache.cpp:183-187``)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops.spmv_pallas import spmv_plan
+    from ..utils import roofline
+
+    def make(iters):
+        @jax.jit
+        def go(p, x):
+            def body(_, v):
+                w = spmv_plan(p, v, strategy=strat)
+                return w / jnp.maximum(jnp.max(jnp.abs(w)), 1e-30)
+            return jax.lax.fori_loop(0, iters, body, x)[:1]
+        return lambda: go(plan, x0)
+
+    return roofline.time_marginal(make, i1=i1, i2=i2)
+
+
 def run_sweep(matrix_dirs: List[str], strategies: List[str], iters: int,
               out=sys.stdout) -> int:
     import jax.numpy as jnp
@@ -31,7 +60,7 @@ def run_sweep(matrix_dirs: List[str], strategies: List[str], iters: int,
     from ..formats.plan import auto_plan
     from ..ops import reference
     from ..ops.spmv_pallas import spmv_plan
-    from ..ops.strategy import (_time_device, execution_counters,
+    from ..ops.strategy import (execution_counters,
                                 plan_bytes_per_apply, plan_nnz)
     from ..utils.stats import StatRegistry, csv_rows
 
@@ -73,9 +102,8 @@ def run_sweep(matrix_dirs: List[str], strategies: List[str], iters: int,
                          if gold is not None else -1)
             if diff_sw:
                 rc = 1
-            dt = _time_device(
-                lambda s=strat: spmv_plan(plan, jnp.asarray(x), strategy=s),
-                iters=iters)
+            dt = _chain_marginal(plan, jnp.asarray(x), strat,
+                                 i1=iters, i2=4 * iters)
             stats["spmvtime"] = dt
             stats["gnnz_per_s"] = nnz / dt / 1e9
             stats["diffFromSW"] = diff_sw
