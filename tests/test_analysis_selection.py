@@ -93,9 +93,14 @@ def test_span_analysis_narrows_stripe_width(rng):
     spans = analysis.row_spans(a)
     assert np.percentile(spans[spans > 0], 95) < 512
     plan = auto_plan(a)
-    # striped SELL with span-derived width: K shrinks to <= 4 blocks
-    assert plan.stats.num_stripes > 1
-    assert 0 < plan.stats.window_blocks <= 4
+    # r5: the cost model vetoes the striped plan this analysis used to
+    # force — at 30K scattered 16-nnz rows over 1M columns, stripe-pure
+    # slice padding collapses fill to ~3% (streaming 35x the matrix), so
+    # the locality-free packed floor wins.  Whatever the selector emits,
+    # it must not be a fill-collapsed SELL layout.
+    from spmv_vector_cache_tpu.formats.plan import SellPlan
+    if isinstance(plan, SellPlan):
+        assert plan.stats.fill >= 0.05
     x = rng.standard_normal(a.shape[1]).astype(np.float32)
     y = np.asarray(spmv_plan(plan.to_device(), x, interpret=True))
     want = reference.spmv_numpy(a, x.astype(np.float64))

@@ -29,17 +29,21 @@ def _checksum_stream(data, block):
     T, P, R = data.shape
 
     def kernel(d_ref, out_ref):
-        out_ref[0, 0] = jnp.sum(d_ref[...])
+        # full (8, 128)-aligned broadcast store per step: Mosaic rejects
+        # both sub-(8,128) output blocks and ANY-space outputs with
+        # non-trivial index maps (found by the round-5 on-TPU suite run;
+        # interpret mode accepted the old (1,1) store)
+        out_ref[0, :, :] = jnp.full((P, R), jnp.sum(d_ref[...]),
+                                    jnp.float32)
 
     return pl.pallas_call(
         kernel,
         grid=(T // block,),
         in_specs=[pl.BlockSpec((block, P, R), lambda i: (i, 0, 0))],
-        out_specs=pl.BlockSpec((1, 1), lambda i: (i, 0),
-                               memory_space=pl.ANY),
-        out_shape=jax.ShapeDtypeStruct((T // block, 1), jnp.float32),
+        out_specs=pl.BlockSpec((1, P, R), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((T // block, P, R), jnp.float32),
         interpret=platform.use_interpret(),
-    )(data)
+    )(data)[:, 0, 0]
 
 
 def test_stream_checksums_match_closed_form():
@@ -65,5 +69,5 @@ def test_stream_checksums_random():
 @pytest.mark.skipif(not platform.is_tpu(), reason="bandwidth probe needs TPU")
 def test_measured_bandwidth_sane():
     from spmv_vector_cache_tpu.utils import roofline
-    bw = roofline.measure_stream_bandwidth(nbytes=16 << 20, iters=20)
+    bw = roofline.measure_stream_bandwidth()
     assert 50e9 < bw < 2000e9          # a v5e-class chip

@@ -6,6 +6,8 @@ import numpy as np
 import pytest
 
 from spmv_vector_cache_tpu.formats import convert, plan as planmod, refio
+from spmv_vector_cache_tpu.formats.containers import COO
+from spmv_vector_cache_tpu.formats.convert import coo_to_csr
 from spmv_vector_cache_tpu.ops import reference, spmv_pallas, strategy
 from tests.conftest import REFERENCE_MATRICES, random_csr, reference_available
 
@@ -65,13 +67,40 @@ def test_plan_striping_bounds_window(rng):
 
 
 def test_auto_plan_skewed_splits():
+    # one dense row + diagonal, sized above the COO-tail backstop (the
+    # r5 cost model routes genuinely tiny matrices to the XLA COO path
+    # when the tiled machinery prices out worse; this test pins the
+    # *structured* skew response: the dense row must split)
+    n = 1 << 17
+    cols = 1024
+    lens = np.where(np.arange(n) % 100 == 0, cols, 2).astype(np.int64)
+    r = np.repeat(np.arange(n, dtype=np.int64), lens)
+    rng = np.random.default_rng(0)
+    c = rng.integers(0, cols, r.shape[0])
+    m = coo_to_csr(COO(data=np.ones(r.shape[0], np.float32),
+                       row=r.astype(np.int32), col=c.astype(np.int32),
+                       shape=(n, cols)))
+    p = planmod.auto_plan(m)
+    assert p.stats.num_splits >= 1
+
+
+def test_auto_plan_tiny_cost_backstop():
+    # a tiny matrix whose structured plan carries a scatter epilogue is
+    # routed to the XLA COO path by the cost model (probe_tiny: 16 ns/nnz
+    # with no fixed machinery floor)
     import scipy.sparse as sp
     dense = np.zeros((256, 256), np.float32)
     dense[0, :] = 1.0
     dense[np.arange(256), np.arange(256)] = 1.0
     m = convert.from_scipy(sp.csr_matrix(dense))
     p = planmod.auto_plan(m)
-    assert p.stats.num_splits >= 1
+    from spmv_vector_cache_tpu.formats.cached import CooTail
+    from spmv_vector_cache_tpu.formats.costmodel import estimate_seconds
+    assert isinstance(p, CooTail)
+    assert estimate_seconds(p) < 1e-3
+    x = np.ones(256, np.float32)
+    y = np.asarray(spmv_pallas.spmv_plan(p.to_device(), x))
+    np.testing.assert_allclose(y, dense @ x, rtol=1e-5, atol=1e-5)
 
 
 # ---------------------------------------------------------------------------
