@@ -683,20 +683,13 @@ def auto_plan(a, *, value_dtype=np.float32, max_window_blocks: int = 16,
                            lane_rows=lane_rows, positions=positions,
                            pad_value=float(s.zero),
                            allow_packed=s.name == "plus_times")
-    if (s.name == "plus_times" and csr.nnz
-            and np.dtype(value_dtype) != np.float64):
+    if s.name == "plus_times":
         # tiny-regime backstop: if the structured choice's fixed
         # machinery prices out worse than the XLA gather+scatter COO
         # path (~16 ns/nnz, probe_tiny), take the COO path.  Measured:
         # tiled kernels usually win even at 6K nnz, so this fires only
         # for pathological tiny windowless layouts.
-        from .cached import COO_TAIL_MAX, coo_tail_from_csr
-        from .costmodel import estimate_seconds
-
-        if csr.nnz <= COO_TAIL_MAX:
-            coo = coo_tail_from_csr(csr, value_dtype=value_dtype)
-            if estimate_seconds(coo) < estimate_seconds(plan):
-                plan = coo
+        plan = _coo_backstop(csr, plan, value_dtype)
     return plan
 
 
@@ -727,7 +720,24 @@ def _try_dia_plan(csr: CSR, *, value_dtype, max_window_blocks, lane_rows,
     rest_plan = _auto_sell_plan(rest, value_dtype=value_dtype,
                                 max_window_blocks=max_window_blocks,
                                 lane_rows=lane_rows, positions=positions)
+    rest_plan = _coo_backstop(rest, rest_plan, value_dtype)
     return HybridPlan(dia=dia_plan, rest=rest_plan)
+
+
+def _coo_backstop(csr: CSR, plan, value_dtype):
+    """Prefer the XLA COO path when it prices below the structured plan
+    (plus-times f32 only; fires mostly on tiny scatter-epilogue layouts
+    like hybrid residues — probe_tiny measured 16 ns/nnz, no machinery
+    floor)."""
+    if csr.nnz == 0 or np.dtype(value_dtype) == np.float64:
+        return plan
+    from .cached import COO_TAIL_MAX, CooTail, coo_tail_from_csr
+    from .costmodel import estimate_seconds
+
+    if isinstance(plan, CooTail) or csr.nnz > COO_TAIL_MAX:
+        return plan
+    coo = coo_tail_from_csr(csr, value_dtype=value_dtype)
+    return coo if estimate_seconds(coo) < estimate_seconds(plan) else plan
 
 
 def _auto_sell_plan(csr: CSR, *, value_dtype, max_window_blocks,

@@ -21,8 +21,21 @@ from .plan import PlanStats, SellPlan, compute_cols_win, compute_window_rows
 _FORMAT_VERSION = 3
 
 
-def config_suffix(plan: SellPlan) -> str:
+def config_suffix(plan) -> str:
     """Human-readable config identity (the artifact-suffix role)."""
+    name = type(plan).__name__
+    if name == "CooTail":
+        return f"coo{plan.nnz}"
+    if name == "DiaPlan":
+        return f"dia{len(plan.offsets)}"
+    if name == "HybridPlan":
+        return f"hybrid-{config_suffix(plan.dia)}-{config_suffix(plan.rest)}"
+    if name == "CachedPlan":
+        suffix = f"hot{plan.hot_cols.shape[0]}"
+        return suffix if plan.cold is None else \
+            f"{suffix}-{config_suffix(plan.cold)}"
+    if name == "PackedPlan":
+        return f"packed{plan.sblock.shape[0]}"
     s = plan.stats
     parts = [f"k{s.window_blocks}" if s.window_blocks else "stream",
              f"g{s.groups_per_step}",

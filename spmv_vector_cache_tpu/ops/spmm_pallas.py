@@ -176,10 +176,21 @@ def spmm_plan(plan, b: Array, *,
     runs the gather-free diagonal SpMM when its x image fits VMEM,
     HybridPlan adds the SELL residual pass.
     """
+    from ..formats.cached import CooTail
     from ..formats.dia import DiaPlan, HybridPlan
     from ..formats.packed import PackedPlan
     from .spmm_dia import spmm_dia, spmm_dia_feasible
 
+    if isinstance(plan, CooTail):
+        # tiny residues: XLA row-gather of B + segment scatter, the
+        # multi-RHS analog of the spmv CooTail path
+        bd = jnp.asarray(b)
+        prod = plan.vals[:, None].astype(bd.dtype) * \
+            jnp.take(bd, plan.cols, axis=0)
+        rows = plan.shape[0]
+        y = jax.ops.segment_sum(prod, plan.rows_idx,
+                                num_segments=rows + 1)
+        return y[:rows]
     if isinstance(plan, PackedPlan):
         raise ValueError(
             "PackedPlan has no fused SpMM kernel; run one spmv_plan per "

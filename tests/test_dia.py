@@ -167,7 +167,11 @@ def test_auto_plan_falls_back_for_random(rng):
 def test_auto_plan_dia_disabled(rng):
     a = convert.from_scipy(_banded(rng, 512, [0, 1]))
     p = auto_plan(a, allow_dia=False)
-    assert isinstance(p, SellPlan)
+    # must not be a DIA-family plan; at ~1K nnz the cost model may
+    # legitimately pick the COO path over SELL (probe_tiny: 2.7 vs 15 us)
+    from spmv_vector_cache_tpu.formats.cached import CooTail
+    assert isinstance(p, (SellPlan, CooTail))
+    assert not isinstance(p, (diamod.DiaPlan, diamod.HybridPlan))
 
 
 def test_dia_int32_exact(rng):

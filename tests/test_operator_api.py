@@ -80,9 +80,15 @@ def test_plan_save_load_roundtrip(rng, tmp_path):
 
 
 def test_config_suffix(rng):
+    # r5: a 1K-nnz random matrix now routes to the COO path by cost
+    # (probe_tiny: 2.7 us vs 15 us at this size); the suffix must still
+    # identify it.  Structured suffixes are pinned via an explicit build.
     a = random_csr(rng, 100, 100, density=0.1)
     p = auto_plan(a)
-    s = plan_io.config_suffix(p)
+    assert plan_io.config_suffix(p).startswith(
+        ("coo", "k", "stream", "dia", "hot", "packed", "hybrid"))
+    from spmv_vector_cache_tpu.formats.plan import build_sell_plan
+    s = plan_io.config_suffix(build_sell_plan(a))
     assert "8x128" in s
     assert s.startswith("k") or s.startswith("stream")
 
