@@ -66,7 +66,31 @@ def estimate_seconds(plan: Any) -> float:
         return _packed_seconds(plan)
     if name == "MergeSellPlan":
         return _sell_seconds(plan.sell) + plan.merge_cost_seconds()
+    if name == "ChunkPlan":
+        return _chunk_seconds(plan)
     raise ValueError(f"no cost model for plan type {name}")
+
+
+def _chunk_seconds(plan) -> float:
+    """ChunkPlan: per-tile cost ~ 15 + 5.2*K ns for window buckets
+    (data stream + per-tile xw prologue at wg=1 + gather tree, measured
+    round-5 on the powerlaw matrix), ~ (26*W + ladder) for subwin
+    buckets, plus the sorted partials fold (~9.4 ns/tile) and the fixed
+    lane-perm/heavy epilogue."""
+    t = 0.0
+    ttot = 0
+    for b in plan.buckets:
+        st = b.stats
+        t += _NS_LAUNCH + st.num_tiles * (15.0 + 5.2 * st.window_blocks)
+        ttot += st.num_tiles
+    for h in plan.hbuckets:
+        W = h.window_blocks
+        t += _NS_LAUNCH + h.num_tiles * (15.0 + 26.0 * W)
+        ttot += h.num_tiles
+    t += ttot * 9.4 + 20e3
+    if plan.residue is not None:
+        t += estimate_seconds(plan.residue) * 1e9
+    return t * 1e-9
 
 
 def _sell_seconds(plan) -> float:

@@ -55,7 +55,7 @@ class SparseOperator:
                 {k: v for k, v in stats_src.stats.as_dict().items()
                  if isinstance(v, (int, float))})
         for s in ("window", "dia", "resident", "deep", "cached", "packed",
-                  "coo"):
+                  "coo", "chunk"):
             self.stats[f"strategy_{s}"] = int(self.strategy == s)
         if isinstance(plan, CachedPlan):
             self.stats["cache_coverage"] = plan.coverage

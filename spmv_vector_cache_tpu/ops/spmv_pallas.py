@@ -234,9 +234,11 @@ def _window_xw(plan: SellPlan, x: Array, ngroups: int, acc_dtype):
     return jnp.take(x2d, rowidx, axis=0).reshape(ngroups, K * 128)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "semiring"))
-def _spmv_window(plan: SellPlan, x: Array, interpret: bool = False,
-                 semiring: str = "plus_times") -> Array:
+def _window_partials(plan: SellPlan, x: Array, interpret: bool,
+                     semiring: str):
+    """Run the windowed kernel, returning (per-tile or per-group
+    partial rows, fold) before any slice/row reduction — shared by
+    :func:`_spmv_window` and the ChunkPlan fast path."""
     T, P, R = plan.vals.shape
     st = plan.stats
     wg = st.group_tiles
@@ -267,8 +269,134 @@ def _spmv_window(plan: SellPlan, x: Array, interpret: bool = False,
         out_shape=jax.ShapeDtypeStruct((out_rows, R), acc_dtype),
         interpret=interpret,
     )(plan.vals, plan.cols_win, xw)
-    return _reduce_partials(plan, _fence_interpret(out, interpret),
-                            semiring, per_group=fold)
+    return _fence_interpret(out, interpret), fold
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "semiring"))
+def _spmv_window(plan: SellPlan, x: Array, interpret: bool = False,
+                 semiring: str = "plus_times") -> Array:
+    out, fold = _window_partials(plan, x, interpret, semiring)
+    return _reduce_partials(plan, out, semiring, per_group=fold)
+
+
+def _make_subwin_kernel(W: int, B: int, P: int, R: int, semiring: str,
+                        acc_dtype=None):
+    """Sorted-subwindow kernel for heavy-row tiles: every sublane row
+    gathers from its OWN W-block x window (``formats/chunk.SubwinPlan``)
+    — the window rows arrive pre-aligned with the value sublanes, so the
+    gather needs no broadcasts and only a W-deep select tree."""
+    from . import semiring as sr
+
+    mul, axis_reduce = sr.kernel_ops(semiring)
+
+    def kernel(vals_ref, cols_ref, xw_ref, out_ref):
+        v = vals_ref[...].reshape(B * P, R)
+        if acc_dtype is not None and v.dtype != acc_dtype:
+            v = v.astype(acc_dtype)
+        ix = cols_ref[...].reshape(B * P, R).astype(jnp.int32)
+        xw = xw_ref[...].reshape(B * P, W * R)
+        lane = jnp.bitwise_and(ix, 127)
+        if W == 1:
+            gat = jnp.take_along_axis(xw, lane, axis=1)
+        else:
+            bucket = jax.lax.shift_right_logical(ix, 7)
+            depth = (W - 1).bit_length()
+            bits = [jnp.bitwise_and(
+                jax.lax.shift_right_logical(bucket, d), 1) == 1
+                for d in range(depth)]
+
+            def tree(lo: int, size: int):
+                if size == 1:
+                    b = min(lo, W - 1)
+                    return jnp.take_along_axis(
+                        xw[:, b * R:(b + 1) * R], lane, axis=1)
+                half = size // 2
+                left = tree(lo, half)
+                if lo + half >= W:
+                    return left
+                right = tree(lo + half, half)
+                return jnp.where(bits[half.bit_length() - 1], right, left)
+
+            gat = tree(0, 1 << depth)
+        prod = mul(v, gat).reshape(B, P, R)
+        out_ref[...] = axis_reduce(prod, 1)
+    return kernel
+
+
+def _subwin_partials(plan, x: Array, interpret: bool, semiring: str):
+    """Run one SubwinPlan bucket -> (T, 128) per-tile lane partials."""
+    T, P, R = plan.vals.shape
+    W = plan.window_blocks
+    acc_dtype = _compute_dtype(plan.vals.dtype)
+    step = TILES_PER_STEP * plan.groups_per_step
+    nb = -(-plan.shape[1] // 128) + W
+    xflat = jnp.zeros((nb * 128,), acc_dtype)
+    xflat = xflat.at[:plan.shape[1]].set(jnp.asarray(x, acc_dtype))
+    x2d = xflat.reshape(nb, 128)
+    rowidx = (jnp.asarray(plan.bases, jnp.int32)[:, :, None]
+              + jnp.arange(W, dtype=jnp.int32)[None, None, :])
+    xw = jnp.take(x2d, jnp.clip(rowidx, 0, nb - 1).reshape(-1),
+                  axis=0).reshape(T, P, W * 128)
+    out = pl.pallas_call(
+        _make_subwin_kernel(W, step, P, R, semiring, acc_dtype),
+        grid=(T // step,),
+        in_specs=[
+            pl.BlockSpec((step, P, R), lambda i: (i, 0, 0)),
+            pl.BlockSpec((step, P, R), lambda i: (i, 0, 0)),
+            pl.BlockSpec((step, P, W * 128), lambda i: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((step, R), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((T, R), acc_dtype),
+        interpret=interpret,
+    )(plan.vals, plan.cols_win, xw)
+    return _fence_interpret(out, interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "semiring"))
+def _spmv_chunk(plan, x: Array, interpret: bool = False,
+                semiring: str = "plus_times") -> Array:
+    """ChunkPlan fast path: per-bucket windowed kernels -> ONE sorted
+    segment reduction over the unified (light blocks + heavy rows)
+    space -> in-block lane un-permutation for the light part, lane fold
+    + short sorted merge for the heavy part (``formats/chunk.py`` for
+    the layout story).  No scatter anywhere."""
+    from . import semiring as sr
+    from .lane_perm import lane_unpermute
+
+    s = sr.get(semiring)
+    _, axis_reduce = sr.kernel_ops(semiring)
+    nblk = plan.num_blocks
+    nheavy = plan.num_heavy
+    rows = plan.shape[0]
+    y2d = None
+    parts = []
+    for b in plan.buckets:
+        part, fold = _window_partials(b, x, interpret, semiring)
+        ids = jnp.asarray(b.tile_slice)
+        if fold:
+            ids = ids[::b.stats.group_tiles]
+        parts.append((part, ids))
+    for h in plan.hbuckets:
+        parts.append((_subwin_partials(h, x, interpret, semiring),
+                      jnp.asarray(h.tile_seg)))
+    for part, ids in parts:
+        y2b = s.segment_reduce(part, ids, num_segments=nblk + nheavy,
+                               indices_are_sorted=True)
+        y2d = y2b if y2d is None else s.add(y2d, y2b).astype(y2b.dtype)
+    y = lane_unpermute(y2d[:nblk], jnp.asarray(plan.perm_idx),
+                       interpret=interpret)
+    y = y.reshape(-1)[:rows]
+    if nheavy:
+        yh = axis_reduce(y2d[nblk:], 1)            # (nheavy,)
+        yh = s.segment_reduce(yh, jnp.asarray(plan.heavy_rows),
+                              num_segments=rows + 1,
+                              indices_are_sorted=True)[:rows]
+        y = s.add(y, yh).astype(y.dtype)
+    if plan.residue is not None:
+        yr = spmv_plan(plan.residue, x, interpret=interpret,
+                       semiring=semiring)
+        y = s.add(y, yr).astype(y.dtype)
+    return y
 
 
 # ---------------------------------------------------------------------------
@@ -491,20 +619,38 @@ def _spmv_stream(plan: SellPlan, x: Array, interpret: bool = False,
 
 def _gather_window(xw_ref, g: int, ix, K: int, n: int):
     """K-block select-merge gather from group g's window row (shared by
-    the f32 and df64 window kernels); ``ix`` in [0, K*128)."""
+    the f32 and df64 window kernels); ``ix`` in [0, K*128).
+
+    Candidate blocks merge through a binary tree keyed on the block-index
+    bits (the resident kernel's trick, ``_make_resident_kernel``): K
+    gathers + K-1 selects on precomputed bit masks, vs the round-4
+    linear chain's K gathers + K compares + K selects — ~40% fewer VPU
+    ops at K=16, which is where the skewed-row plans live."""
     if K == 1:
         w0 = xw_ref[g:g + 1, 0:128]
         return jnp.take_along_axis(jnp.broadcast_to(w0, (n, 128)), ix,
                                    axis=1)
     bucket = jax.lax.shift_right_logical(ix, 7)
     i0 = jnp.bitwise_and(ix, 127)
-    gat = None
-    for b in range(K):
-        wb = xw_ref[g:g + 1, b * 128:(b + 1) * 128]
-        gb = jnp.take_along_axis(jnp.broadcast_to(wb, (n, 128)), i0,
-                                 axis=1)
-        gat = gb if gat is None else jnp.where(bucket == b, gb, gat)
-    return gat
+    depth = (K - 1).bit_length()
+    bits = [jnp.bitwise_and(
+        jax.lax.shift_right_logical(bucket, d), 1) == 1
+        for d in range(depth)]
+
+    def tree(lo: int, size: int):
+        if size == 1:
+            b = min(lo, K - 1)
+            wb = xw_ref[g:g + 1, b * 128:(b + 1) * 128]
+            return jnp.take_along_axis(jnp.broadcast_to(wb, (n, 128)),
+                                       i0, axis=1)
+        half = size // 2
+        left = tree(lo, half)
+        if lo + half >= K:
+            return left
+        right = tree(lo + half, half)
+        return jnp.where(bits[half.bit_length() - 1], right, left)
+
+    return tree(0, 1 << depth)
 
 
 def _df_product_reduce(vh, vl, xh, xl, wg: int, P: int, R: int):
@@ -697,12 +843,21 @@ def spmv_plan(plan, x: Array, *, strategy: str = "auto",
     only.
     """
     from ..formats.cached import CachedPlan, CooTail
+    from ..formats.chunk import ChunkPlan
     from ..formats.dia import DiaPlan, HybridPlan
     from ..formats.packed import PackedPlan
     from . import semiring as sr
     from .spmv_dia import spmv_dia
 
     semiring = sr.get(semiring).name
+    if isinstance(plan, ChunkPlan):
+        if strategy not in ("auto", "window", "chunk"):
+            raise ValueError(f"ChunkPlan supports only the 'chunk' "
+                             f"strategy, got {strategy!r}")
+        if interpret is None:
+            interpret = platform.use_interpret()
+        return _spmv_chunk(plan, jnp.asarray(x), interpret=interpret,
+                           semiring=semiring)
     if isinstance(plan, CooTail):
         # tiny residues: XLA element gather + segment scatter beats any
         # tiled kernel's fixed machinery below ~64K nonzeros

@@ -45,6 +45,10 @@ def select_strategy(plan) -> str:
     from .spmv_pallas import (DEEP_MAX_BLOCKS, RESIDENT_MAX_BLOCKS,
                               _warn_stream_cliff)
 
+    from ..formats.chunk import ChunkPlan
+
+    if isinstance(plan, ChunkPlan):
+        return "chunk"
     if isinstance(plan, (DiaPlan, HybridPlan)):
         return "dia"
     if isinstance(plan, CachedPlan):
@@ -79,6 +83,10 @@ def plan_nnz(plan) -> int:
 
     from ..formats.cached import CooTail
 
+    from ..formats.chunk import ChunkPlan
+
+    if isinstance(plan, ChunkPlan):
+        return plan.stats.nnz
     if isinstance(plan, HybridPlan):
         return plan_nnz(plan.dia) + plan_nnz(plan.rest)
     if isinstance(plan, CachedPlan):
@@ -98,6 +106,17 @@ def plan_bytes_per_apply(plan, strategy: str = "auto") -> int:
     from ..formats.cached import CachedPlan
     from ..formats.dia import DiaPlan, HybridPlan
 
+    from ..formats.chunk import ChunkPlan
+
+    if isinstance(plan, ChunkPlan):
+        b = sum(plan_bytes_per_apply(bk, "window") for bk in plan.buckets)
+        for h in plan.hbuckets:
+            T = h.num_tiles
+            it = np.dtype(h.vals.dtype).itemsize
+            b += T * 1024 * (it + 2) + 3 * T * 8 * h.window_blocks * 128 * 4
+        if plan.residue is not None:
+            b += plan_bytes_per_apply(plan.residue)
+        return b + (plan.shape[0] + plan.shape[1]) * 4
     if isinstance(plan, HybridPlan):
         return (plan_bytes_per_apply(plan.dia) +
                 plan_bytes_per_apply(plan.rest, strategy))
@@ -160,6 +179,22 @@ def execution_counters(plan, strategy: str = "auto") -> Dict[str, int]:
     from ..formats.cached import CachedPlan
     from ..formats.dia import DiaPlan, HybridPlan
 
+    from ..formats.chunk import ChunkPlan
+
+    if isinstance(plan, ChunkPlan):
+        out = {"grid_steps": 0, "window_switches": 0, "gather_passes": 0,
+               "select_ops": 0, "shift_ops": 0, "epilogue_segsum": 1}
+        for bk in plan.buckets:
+            c = execution_counters(bk, "window")
+            for k in out:
+                out[k] += c.get(k, 0)
+        for h in plan.hbuckets:
+            T = h.num_tiles
+            out["grid_steps"] += T // (8 * h.groups_per_step)
+            out["gather_passes"] += T * h.window_blocks
+            out["select_ops"] += T * max(0, h.window_blocks - 1)
+            out["window_switches"] += T * 8
+        return out
     if isinstance(plan, HybridPlan):
         c1 = execution_counters(plan.dia)
         c2 = execution_counters(plan.rest, strategy)
