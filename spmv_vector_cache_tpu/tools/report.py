@@ -194,6 +194,55 @@ def large_matrix_rows(quick: bool = False) -> List[Dict[str, Any]]:
     return rows_out
 
 
+def realistic_matrix_rows(quick: bool = False):
+    """Bench the degree-calibrated stand-ins for the reference's
+    SuiteSparse evaluation suite (tools/realistic.py; VERDICT r4 missing
+    #3: anchor the synthetic sweep to the reference's evaluation class,
+    ``/root/reference/matrices/matrixutils.py:18-21``)."""
+    import jax.numpy as jnp
+
+    from ..formats.plan import auto_plan
+    from ..ops import reference
+    from ..ops.spmv_pallas import spmv_plan
+    from ..ops.strategy import plan_nnz
+    from ..utils import roofline
+    from .realistic import MATRICES
+
+    rng = np.random.default_rng(9)
+    bw = roofline.measure_stream_bandwidth(mode="read")
+    csr_roof = roofline.spmv_roofline_nnz_per_s(bw)
+    rows_out = []
+    names = list(MATRICES)
+    if quick:
+        names = names[:2]
+    for name in names:
+        gen, note = MATRICES[name]
+        a = gen()
+        plan = auto_plan(a)
+        pd = plan.to_device()
+        x0 = jnp.asarray(rng.standard_normal(a.shape[1])
+                         .astype(np.float32))
+        y = np.asarray(spmv_plan(pd, x0))
+        want = reference.spmv_numpy(a, np.asarray(x0, np.float64))
+        err = float(np.abs(y - want).max() /
+                    max(1.0, np.abs(want).max()))
+        dt = _chain_rate(lambda p, v: spmv_plan(p, v), pd, x0, 10, 40)
+        nnz = plan_nnz(pd)
+        row = {"matrix": name, "rows": a.shape[0], "cols": a.shape[1],
+               "nnz": nnz, "plan": _plan_chain(plan),
+               "gnnz_per_s": round(nnz / dt / 1e9, 2),
+               "ms_per_apply": round(dt * 1e3, 3),
+               "pct_of_csr_roofline":
+                   round(100 * (nnz / dt) / csr_roof, 1),
+               "max_rel_err": f"{err:.1e}", "note": note}
+        rows_out.append(row)
+        log(f"  {name}: {row['gnnz_per_s']} Gnnz/s "
+            f"({row['pct_of_csr_roofline']}% roofline) "
+            f"plan={row['plan']}")
+        assert err < 2e-3, (name, err)
+    return rows_out
+
+
 def write_report(out_dir: str, quick: bool = False) -> str:
     import jax
 
@@ -225,6 +274,16 @@ def write_report(out_dir: str, quick: bool = False) -> str:
         for r in large:
             f.write(",".join(str(r[k]) for k in lkeys) + "\n")
 
+    # 2b. degree-calibrated SuiteSparse-class matrices
+    log("== realistic-matrix benches ==")
+    real = realistic_matrix_rows(quick=quick)
+    rkeys = list(real[0].keys())
+    with open(os.path.join(out_dir, "benchmarks", "realistic.csv"),
+              "w") as f:
+        f.write(",".join(rkeys) + "\n")
+        for r in real:
+            f.write(",".join(str(r[k]) for k in rkeys) + "\n")
+
     # 3. BASELINE workload suite
     log("== workload suite ==")
     suite = run_suite(iters=10 if quick else 20)
@@ -249,6 +308,18 @@ def write_report(out_dir: str, quick: bool = False) -> str:
               "% CSR roofline | max rel err | note |")
     md.append("|---|---|---|---|---|---|---|---|---|")
     for r in large:
+        md.append(f"| {r['matrix']} | {r['rows']}x{r['cols']} | "
+                  f"{r['nnz']} | {r['plan']} | {r['gnnz_per_s']} | "
+                  f"{r['ms_per_apply']} | {r['pct_of_csr_roofline']} | "
+                  f"{r['max_rel_err']} | {r['note']} |")
+    md.append("")
+
+    md.append("## SuiteSparse-class matrices (degree-calibrated "
+              "stand-ins, tools/realistic.py)\n")
+    md.append("| matrix | rows x cols | nnz | plan | Gnnz/s | ms/apply | "
+              "% CSR roofline | max rel err | models |")
+    md.append("|---|---|---|---|---|---|---|---|---|")
+    for r in real:
         md.append(f"| {r['matrix']} | {r['rows']}x{r['cols']} | "
                   f"{r['nnz']} | {r['plan']} | {r['gnnz_per_s']} | "
                   f"{r['ms_per_apply']} | {r['pct_of_csr_roofline']} | "

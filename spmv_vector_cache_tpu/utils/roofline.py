@@ -56,7 +56,17 @@ def time_marginal(make_chain: Callable[[int], Callable[[], Any]],
     f1, f2 = make_chain(i1), make_chain(i2)
     t1 = time_chained(lambda: f1(), iters=1, repeats=repeats)
     t2 = time_chained(lambda: f2(), iters=1, repeats=repeats)
-    return max((t2 - t1) / (i2 - i1), 1e-12)
+    dt = (t2 - t1) / (i2 - i1)
+    if dt <= 1e-9:
+        # the marginal drowned in call-to-call variance (tiny kernels
+        # through the remote tunnel): lengthen the chains 8x so the real
+        # per-iteration work dominates instead of reporting the clamp
+        # floor as a bogus rate (r4 bundled_sweep showed 1e-12 rows)
+        f1, f2 = make_chain(8 * i1), make_chain(8 * i2)
+        t1 = time_chained(lambda: f1(), iters=1, repeats=repeats)
+        t2 = time_chained(lambda: f2(), iters=1, repeats=repeats)
+        dt = (t2 - t1) / (8 * (i2 - i1))
+    return max(dt, 1e-12)
 
 
 def measure_stream_bandwidth(nbytes: int = 256 << 20,
