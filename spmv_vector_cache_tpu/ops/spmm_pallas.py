@@ -33,40 +33,71 @@ RHS_CHUNK = 8   # RHS columns per kernel pass (sublane granularity)
 
 def _make_spmm_kernel(K: int, NG: int, P: int, R: int, WG: int,
                       acc_dtype=None):
-    """NG groups of WG tiles per step; group g gathers 8 RHS rows from
-    its own K-block window slice of the ONE pre-gathered ``btw`` operand
-    (the round-3 SpMV design: windows arrive as a regular operand, never
-    as per-group block streams — an operand per (group, block) made the
-    pipeline juggle hundreds of 4 KB streams per step, measured ~10x
-    slower).  In-window offsets are plan-precomputed int16 in [0, K*128):
-    ``off >> 7`` picks the block, ``off & 127`` the lane, the K gathered
-    candidates merge with K-1 selects.  The out block's tile axis is not
-    the sublane axis (block (1, step, 8, R)), so WG-tile writes need no
-    pairing."""
+    """NG groups of WG tiles per step.  The 8 RHS of a chunk live on the
+    SUBLANE axis of the window operand (``btw`` group row viewed as
+    (8, K*128)), so one ``take_along_axis`` with a value row's index
+    broadcast across sublanes gathers all 8 RHS at once — per value row
+    the kernel pays K gathers + K-1 tree selects + one multiply-add on
+    an (8, R) vreg that is ALREADY the output layout (RHS on sublanes,
+    matrix rows on lanes).  The round-4 kernel gathered per (RHS, block)
+    from scalar rows and transposed (8, WG, R) blocks in-kernel —
+    layout churn measured 2-30x SLOWER than looping single-RHS SpMV
+    (probes/probe_spmm_vs_loop.py); this shape is what makes the fused
+    kernel actually amortize the nonzero stream."""
     def kernel(vals_ref, cols_ref, btw_ref, out_ref):
+        # ALL refs 2-D/3-D with a 128-lane minor: Mosaic lowers 4-D
+        # blocks whose minor dims are (8, R) with strided element
+        # stores, measured ~9x slower on the SAME math
+        # (probes/probe_spmm_kernelvar.py v0 vs v4)
         v = vals_ref[...]                                 # (NG*WG, P, R)
         if acc_dtype is not None and v.dtype != acc_dtype:
             v = v.astype(acc_dtype)
         cw = cols_ref[...].astype(jnp.int32)
+        C = RHS_CHUNK
+
+        def rep(x):                                       # (P, R)->(P*C, R)
+            return jnp.broadcast_to(x[:, None, :],
+                                    (P, C, x.shape[1])).reshape(P * C,
+                                                                x.shape[1])
+
         for g in range(NG):
-            ix = cw[g * WG:(g + 1) * WG].reshape(WG * P, R)
-            vg = v[g * WG:(g + 1) * WG].reshape(WG * P, R)
-            bucket = jax.lax.shift_right_logical(ix, 7)
-            lane = jnp.bitwise_and(ix, 127)
-            accs = []
-            for c in range(RHS_CHUNK):
-                gat = None
-                for b in range(K):
-                    row = btw_ref[0, g, c, b * 128:(b + 1) * 128]  # (128,)
-                    src = jnp.broadcast_to(row[None, :], (WG * P, 128))
-                    gb = jnp.take_along_axis(src, lane, axis=1)
-                    gat = gb if gat is None else \
-                        jnp.where(bucket == b, gb, gat)
-                accs.append(gat * vg)
-            # (8, WG*P, R) -> (WG, 8, R): per-tile sublane sum + transpose
-            acc = jnp.stack(accs)                         # (8, WG*P, R)
-            per_tile = jnp.sum(acc.reshape(RHS_CHUNK, WG, P, R), axis=2)
-            out_ref[0, g * WG:(g + 1) * WG] = per_tile.transpose(1, 0, 2)
+            win = btw_ref[g * C:(g + 1) * C]              # (C, K*128)
+            winr = jnp.broadcast_to(win[None], (P, C, K * 128)) \
+                .reshape(P * C, K * 128)
+            for t in range(WG):
+                ix = cw[g * WG + t]                       # (P, R)
+                vg = v[g * WG + t]
+                lane = rep(jnp.bitwise_and(ix, 127))      # (P*C, R)
+                if K == 1:
+                    gat = jnp.take_along_axis(winr[:, :128], lane,
+                                              axis=1)
+                else:
+                    bucket = jax.lax.shift_right_logical(ix, 7)
+                    bits = [rep((jax.lax.shift_right_logical(bucket, d)
+                                 & 1) == 1)
+                            for d in range((K - 1).bit_length())]
+
+                    def tree(lo, size):
+                        if size == 1:
+                            b = min(lo, K - 1)
+                            return jnp.take_along_axis(
+                                winr[:, b * 128:(b + 1) * 128], lane,
+                                axis=1)
+                        half = size // 2
+                        left = tree(lo, half)
+                        if lo + half >= K:
+                            return left
+                        right = tree(lo + half, half)
+                        return jnp.where(bits[half.bit_length() - 1],
+                                         right, left)
+
+                    gat = tree(0, 1 << (K - 1).bit_length())
+                contrib = gat * rep(vg)                   # (P*C, R)
+                acc = contrib[:C]
+                for p in range(1, P):
+                    acc = acc + contrib[p * C:(p + 1) * C]
+                tt = g * WG + t
+                out_ref[tt * C:(tt + 1) * C] = acc        # (C, R)
     return kernel
 
 
@@ -74,26 +105,38 @@ def _bt_windows(bt: Array, k8: int, cols: int, nb: int, grain: int,
                 rowidx: Array, ngroups: int, K: int, dtype) -> Array:
     """(k8, ngroups, RHS_CHUNK, K*128) pre-gathered RHS windows: group
     g's window holds columns [base_g, base_g + K*128) of each RHS in the
-    chunk, materialized by ONE row-take from a (128/grain)-way
-    overlapped image (mirror of ``spmv_pallas._window_xw``)."""
+    chunk, materialized by ONE row-take from a flat (k8*C*f*nb, 128)
+    image whose take indices are already emitted in (chunk, group, rhs,
+    block) order — reshape-only on both sides.  The round-4 version
+    gathered then ran a 5-axis transpose over the whole operand, a full
+    XLA relayout of up to k/8 x T/WG x 4 KB that dominated the entire
+    SpMM (probes/probe_spmm_vs_loop.py: 2-30x slower than looped SpMV
+    regardless of kernel shape)."""
     f = 128 // grain
     L = nb * 128
     k = bt.shape[0]
-    btf = jnp.zeros((k8 * RHS_CHUNK, L + 128), dtype)
+    C = RHS_CHUNK
+    btf = jnp.zeros((k8 * C, L + 128), dtype)
     btf = btf.at[:k, :cols].set(jnp.asarray(bt, dtype))
-    btf = btf.reshape(k8, RHS_CHUNK, L + 128)
     if f == 1:
-        img = btf[:, :, :L].reshape(k8, RHS_CHUNK, nb, 128)
+        img = btf[:, :L].reshape(k8 * C * nb, 128)
+        stride = nb
     else:
-        img = jnp.stack([btf[:, :, grain * i:grain * i + L]
-                         .reshape(k8, RHS_CHUNK, nb, 128)
-                         for i in range(f)], axis=3)      # (k8,8,nb,f,128)
-        img = img.reshape(k8, RHS_CHUNK, nb * f, 128)
-    # (k8, 8, f*nb, 128) -take-> (k8, 8, ngroups*K, 128)
-    g = jnp.take(img, rowidx, axis=2)
-    g = g.reshape(k8, RHS_CHUNK, ngroups, K, 128)
-    return g.transpose(0, 2, 1, 3, 4).reshape(k8, ngroups, RHS_CHUNK,
-                                              K * 128)
+        # overlapped grain image: rows interleave the f shifted copies,
+        # still reshape-only (minor-dim slices of the padded buffer)
+        img = jnp.stack([btf[:, grain * i:grain * i + L]
+                         .reshape(k8 * C, nb, 128)
+                         for i in range(f)], axis=2)      # (k8C,nb,f,128)
+        img = img.reshape(k8 * C * nb * f, 128)
+        stride = nb * f
+    # flat row ids in (chunk, group, rhs, block) output order
+    ridx = jnp.asarray(rowidx, jnp.int32).reshape(ngroups, K)
+    kc = jnp.arange(k8, dtype=jnp.int32)
+    c = jnp.arange(C, dtype=jnp.int32)
+    rows = ((kc[:, None, None, None] * C + c[None, None, :, None])
+            * stride + ridx[None, :, None, :])            # (k8,G,C,K)
+    g = jnp.take(img, rows.reshape(-1), axis=0)
+    return g.reshape(k8 * ngroups * C, K * 128)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -132,30 +175,34 @@ def _spmm_window(plan: SellPlan, bt: Array, interpret: bool = False) -> Array:
             0, f * nb - 1).reshape(-1)
     btw = _bt_windows(bt, k8, plan.shape[1], nb, gr, rowidx, ngroups, K,
                       acc_dtype)
+    C = RHS_CHUNK
+    steps = T // (B * G)
     grid_spec = pl.GridSpec(
-        grid=(k8, T // (B * G)),
+        grid=(k8, steps),
         in_specs=[
             pl.BlockSpec((B * G, P, R), lambda kc, i: (i, 0, 0)),
             pl.BlockSpec((B * G, P, R), lambda kc, i: (i, 0, 0)),
-            pl.BlockSpec((1, NG, RHS_CHUNK, K * 128),
-                         lambda kc, i: (kc, i, 0, 0)),
+            pl.BlockSpec((NG * C, K * 128),
+                         lambda kc, i, s=steps: (kc * s + i, 0)),
         ],
-        out_specs=pl.BlockSpec((1, B * G, RHS_CHUNK, R),
-                               lambda kc, i: (kc, i, 0, 0)),
+        out_specs=pl.BlockSpec((B * G * C, R),
+                               lambda kc, i, s=steps: (kc * s + i, 0)),
     )
     partials = pl.pallas_call(
         _make_spmm_kernel(K, NG, P, R, WG, acc_dtype),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((k8, T, RHS_CHUNK, R), acc_dtype),
+        out_shape=jax.ShapeDtypeStruct((k8 * T * C, R), acc_dtype),
         interpret=interpret,
     )(plan.vals, plan.cols_win, btw)
     partials = _fence_interpret(partials, interpret)
 
-    # fold tiles -> slices, then sub-rows -> rows
-    y4 = jax.ops.segment_sum(partials.transpose(1, 0, 2, 3),
-                             jnp.asarray(plan.tile_slice),
-                             num_segments=plan.num_slices,
-                             indices_are_sorted=True)   # (S, k8, 8, R)
+    # fold tiles -> slices per chunk (reshape-only views, no transpose)
+    p4 = partials.reshape(k8, T, C, R)
+    y4 = jnp.stack([
+        jax.ops.segment_sum(p4[kc], jnp.asarray(plan.tile_slice),
+                            num_segments=plan.num_slices,
+                            indices_are_sorted=True)
+        for kc in range(k8)], axis=1)                   # (S, k8, 8, R)
     # (S, k8, 8, R) -> sub-row-major (S*R, k8*8)
     flat = y4.transpose(0, 3, 1, 2).reshape(plan.num_slices * R,
                                             k8 * RHS_CHUNK)
